@@ -1,0 +1,256 @@
+"""Device-resident graph store.
+
+TPU-native counterpart of the reference's C++ in-memory graph engine
+(reference: euler/core/graph/graph.h:41 ``Graph`` singleton, node.h:59
+``Node`` with edge-type-grouped neighbor arrays + per-group
+``CompactWeightedCollection``). Instead of a pointer-rich object store
+queried per batch over RPC, the whole graph is a pytree of flat arrays
+(``GraphTensors``) living in device/host memory, so sampling, gather and
+aggregation compile into one XLA program — the per-batch client/server
+round-trip of the reference disappears.
+
+Layout (see convert.build_csr):
+  * edges sorted by (src, edge_type, dst); ``group_ptr[r*ET+t]`` brackets the
+    neighbors of node r under edge type t (grouped layout of node.h:49-57);
+    within a group, neighbors are sorted by dst id, enabling binary-search
+    membership tests (used by node2vec walks, cf. GetSortedFullNeighbor).
+  * ``adj_w_cumsum`` is a global prefix sum of edge weights: a weighted
+    neighbor draw = one uniform + one searchsorted (the vectorized
+    equivalent of compact_weighted_collection.h:54-100).
+  * per-type alias tables for global node/edge sampling (graph.h:133
+    ``BuildGlobalSampler``).
+"""
+from __future__ import annotations
+
+import glob
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from euler_tpu.graph import convert as _convert
+from euler_tpu.graph.meta import BINARY, DENSE, SPARSE, GraphMeta
+from euler_tpu.ops.alias import build_typed_alias_tables
+
+
+@struct.dataclass
+class AliasTables:
+    ids: jnp.ndarray       # int32 [n] population sorted by type
+    type_ptr: jnp.ndarray  # int32 [T+1]
+    prob: jnp.ndarray      # f32   [n]
+    alias: jnp.ndarray     # int32 [n] (within-type slots)
+    w_sum: jnp.ndarray     # f32   [T]
+
+
+@struct.dataclass
+class GraphTensors:
+    """The jit-visible graph. Every field is a device array (or dict of)."""
+
+    meta: GraphMeta = struct.field(pytree_node=False)
+
+    node_type: jnp.ndarray   # int32 [N]
+    node_w: jnp.ndarray      # f32   [N]
+
+    # out-adjacency, grouped CSR over (node, edge_type)
+    group_ptr: jnp.ndarray   # int32 [N*ET + 1]
+    adj_src: jnp.ndarray     # int32 [E]
+    adj_dst: jnp.ndarray     # int32 [E]
+    adj_type: jnp.ndarray    # int32 [E]
+    adj_w: jnp.ndarray       # f32   [E]
+    adj_w_cumsum: jnp.ndarray  # f32 [E]
+    adj_eid: jnp.ndarray     # int32 [E] CSR slot -> original edge row
+    group_w_sum: jnp.ndarray  # f32  [N, ET]
+
+    node_alias: AliasTables
+    edge_alias: AliasTables  # population = CSR slots, typed by edge type
+
+    dense_nf: Dict[str, jnp.ndarray]
+    sparse_nf: Dict[str, Tuple[jnp.ndarray, jnp.ndarray]]  # (ids, len)
+    dense_ef: Dict[str, jnp.ndarray]   # indexed by original edge row
+    sparse_ef: Dict[str, Tuple[jnp.ndarray, jnp.ndarray]]
+
+    # optional in-adjacency (reference: node.h in-neighbor variants)
+    in_group_ptr: Optional[jnp.ndarray] = None
+    in_adj_src: Optional[jnp.ndarray] = None   # the *neighbor* (true src)
+    in_adj_w: Optional[jnp.ndarray] = None
+    in_adj_w_cumsum: Optional[jnp.ndarray] = None
+    in_adj_eid: Optional[jnp.ndarray] = None
+    in_group_w_sum: Optional[jnp.ndarray] = None
+
+    @property
+    def n_nodes(self) -> int:
+        return self.node_type.shape[0]
+
+    @property
+    def n_edges(self) -> int:
+        return self.adj_dst.shape[0]
+
+
+def _load_parts(path: str):
+    files = sorted(glob.glob(os.path.join(path, "part_*.npz")))
+    if not files:
+        raise FileNotFoundError(f"no part_*.npz under {path}")
+    parts = [dict(np.load(f, allow_pickle=False)) for f in files]
+    merged = {}
+    for k in parts[0]:
+        merged[k] = np.concatenate([p[k] for p in parts], axis=0)
+    return merged
+
+
+class Graph:
+    """Host-side graph: numpy arrays + binary features + device tensors.
+
+    The equivalent of ``initialize_embedded_graph``
+    (reference: tf_euler/python/euler_ops/base.py:63-67 ->
+    QueryProxy::Init -> GraphBuilder::Build, graph_builder.cc:57-157).
+    """
+
+    def __init__(self, meta: GraphMeta, arrays: Dict[str, np.ndarray],
+                 device_put: bool = True):
+        self.meta = meta
+        n, net = meta.n_nodes, meta.num_edge_types
+
+        # nodes may arrive partition-interleaved: restore local-id order
+        order = np.argsort(arrays["node_local"], kind="stable")
+        self.ext_ids = arrays["ext_ids"][order]
+        node_type = arrays["node_type"][order]
+        node_w = arrays["node_w"][order]
+        self._local_of = {int(e): i for i, e in enumerate(self.ext_ids)}
+
+        src, dst = arrays["src"], arrays["dst"]
+        etype, ew = arrays["etype"], arrays["ew"]
+        eid = arrays["eid"]
+
+        (group_ptr, adj_dst, adj_w, w_cum, adj_eid, perm) = _convert.build_csr(
+            n, net, src, dst, etype, ew, eid)
+        adj_src = src[perm].astype(np.int32)
+        adj_type = etype[perm].astype(np.int32)
+        group_w_sum = np.diff(
+            np.concatenate([[0.0], w_cum.astype(np.float64)])[group_ptr]
+        ).astype(np.float32).reshape(n, net)
+        # recompute exactly per group to avoid cumsum cancellation error
+        # (cheap: one segment sum)
+        seg = np.repeat(np.arange(n * net), np.diff(group_ptr))
+        gws = np.zeros(n * net, np.float64)
+        np.add.at(gws, seg, adj_w.astype(np.float64))
+        group_w_sum = gws.astype(np.float32).reshape(n, net)
+
+        node_alias_np = build_typed_alias_tables(node_type, node_w,
+                                                 meta.num_node_types)
+        edge_alias_np = build_typed_alias_tables(adj_type, adj_w, net)
+
+        # features (original-order for edges; node features sorted to local id)
+        dense_nf, sparse_nf, self.binary_nf = {}, {}, {}
+        for spec in meta.node_features:
+            if spec.kind == DENSE:
+                dense_nf[spec.name] = arrays[f"nf_d:{spec.name}"][order]
+            elif spec.kind == SPARSE:
+                sparse_nf[spec.name] = (arrays[f"nf_sp:{spec.name}"][order],
+                                        arrays[f"nf_splen:{spec.name}"][order])
+            else:
+                self.binary_nf[spec.name] = arrays[f"nf_bin:{spec.name}"][order]
+        dense_ef, sparse_ef, self.binary_ef = {}, {}, {}
+        eorder = np.argsort(eid, kind="stable")
+        for spec in meta.edge_features:
+            if spec.kind == DENSE:
+                dense_ef[spec.name] = arrays[f"ef_d:{spec.name}"][eorder]
+            elif spec.kind == SPARSE:
+                sparse_ef[spec.name] = (arrays[f"ef_sp:{spec.name}"][eorder],
+                                        arrays[f"ef_splen:{spec.name}"][eorder])
+            else:
+                self.binary_ef[spec.name] = arrays[f"ef_bin:{spec.name}"][eorder]
+
+        in_fields = {}
+        if meta.has_in_edges:
+            # in-CSR: group by dst; "neighbor" column is the src node
+            (ig_ptr, i_col, i_w, i_cum, i_eid, _) = _convert.build_csr(
+                n, net, dst, src, etype, ew, eid)
+            iseg = np.repeat(np.arange(n * net), np.diff(ig_ptr))
+            igws = np.zeros(n * net, np.float64)
+            np.add.at(igws, iseg, i_w.astype(np.float64))
+            in_fields = dict(
+                in_group_ptr=ig_ptr, in_adj_src=i_col, in_adj_w=i_w,
+                in_adj_w_cumsum=i_cum, in_adj_eid=i_eid,
+                in_group_w_sum=igws.astype(np.float32).reshape(n, net))
+
+        put = jnp.asarray if device_put else (lambda x: x)
+
+        def put_alias(t):
+            return AliasTables(ids=put(t["ids"]),
+                               type_ptr=put(t["type_ptr"].astype(np.int32)),
+                               prob=put(t["prob"]), alias=put(t["alias"]),
+                               w_sum=put(t["w_sum"]))
+
+        self.tensors = GraphTensors(
+            meta=meta,
+            node_type=put(node_type),
+            node_w=put(node_w),
+            group_ptr=put(group_ptr.astype(np.int32)),
+            adj_src=put(adj_src),
+            adj_dst=put(adj_dst),
+            adj_type=put(adj_type),
+            adj_w=put(adj_w),
+            adj_w_cumsum=put(w_cum),
+            adj_eid=put(adj_eid),
+            group_w_sum=put(group_w_sum),
+            node_alias=put_alias(node_alias_np),
+            edge_alias=put_alias(edge_alias_np),
+            dense_nf={k: put(v) for k, v in dense_nf.items()},
+            sparse_nf={k: (put(v[0]), put(v[1])) for k, v in sparse_nf.items()},
+            dense_ef={k: put(v) for k, v in dense_ef.items()},
+            sparse_ef={k: (put(v[0]), put(v[1])) for k, v in sparse_ef.items()},
+            **{k: put(v) for k, v in in_fields.items()},
+        )
+
+    # ---- host-side lookups ------------------------------------------------
+    def local_id(self, ext_id: int) -> int:
+        return self._local_of[int(ext_id)]
+
+    def local_ids(self, ext_ids) -> np.ndarray:
+        return np.asarray([self._local_of[int(e)] for e in ext_ids], np.int32)
+
+    def get_binary_feature(self, nodes, names):
+        """Host-only (strings can't live on device).
+
+        reference: tf_euler get_binary_feature (feature_ops.py)."""
+        nodes = np.asarray(nodes)
+        return [self.binary_nf[n][nodes] for n in names]
+
+    def get_edge_binary_feature(self, eids, names):
+        eids = np.asarray(eids)
+        return [self.binary_ef[n][eids] for n in names]
+
+    @property
+    def max_id(self) -> int:
+        return self.meta.n_nodes - 1
+
+
+def load_graph(path: str, device_put: bool = True) -> Graph:
+    """Load a converted shard directory (see convert.convert_json_graph)."""
+    with open(os.path.join(path, _convert.META_FILE)) as f:
+        meta = GraphMeta.from_json(f.read())
+    return Graph(meta, _load_parts(path), device_put=device_put)
+
+
+# ---- module-level default graph (tf_euler-style convenience) --------------
+_default_graph: Optional[Graph] = None
+
+
+def initialize_graph(path_or_graph) -> Graph:
+    """Set the process-default graph (cf. tf_euler initialize_embedded_graph,
+    reference: tf_euler/python/euler_ops/base.py:37-75)."""
+    global _default_graph
+    if isinstance(path_or_graph, Graph):
+        _default_graph = path_or_graph
+    else:
+        _default_graph = load_graph(path_or_graph)
+    return _default_graph
+
+
+def default_graph() -> Graph:
+    if _default_graph is None:
+        raise RuntimeError("no graph initialized; call initialize_graph first")
+    return _default_graph

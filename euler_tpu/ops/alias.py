@@ -1,0 +1,96 @@
+"""Alias-method weighted sampling.
+
+TPU-native counterpart of the reference's O(1) global samplers
+(reference: euler/common/alias_method.h:28 ``AliasMethod::Init/Next`` and
+euler/common/fast_weighted_collection.h:28). Tables are built once on the
+host at graph-load time (numpy, O(n)); draws are branch-free vectorized
+device code — two uniforms + two gathers per sample, ideal for the VPU.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def build_alias_table(weights: np.ndarray):
+    """Build (prob, alias) arrays for Vose's alias method.
+
+    prob[i]  : probability of keeping slot i on the first draw
+    alias[i] : slot used otherwise
+    Empty input yields empty tables. Zero/negative total weight falls back to
+    uniform (matching the reference's behavior of normalizing sums).
+    """
+    w = np.asarray(weights, np.float64)
+    n = len(w)
+    if n == 0:
+        return np.zeros(0, np.float32), np.zeros(0, np.int32)
+    total = w.sum()
+    if not np.isfinite(total) or total <= 0:
+        w = np.ones(n, np.float64)
+        total = float(n)
+    p = w * (n / total)
+    prob = np.ones(n, np.float64)
+    alias = np.arange(n, dtype=np.int32)
+    small = [i for i in range(n) if p[i] < 1.0]
+    large = [i for i in range(n) if p[i] >= 1.0]
+    while small and large:
+        s, l = small.pop(), large.pop()
+        prob[s] = p[s]
+        alias[s] = l
+        p[l] = (p[l] + p[s]) - 1.0
+        (small if p[l] < 1.0 else large).append(l)
+    return prob.astype(np.float32), alias
+
+
+def build_typed_alias_tables(type_of: np.ndarray, weights: np.ndarray,
+                             num_types: int):
+    """Per-type alias tables over a typed population, concatenated.
+
+    Mirrors the reference's per-node-type/per-edge-type global samplers
+    (euler/core/graph/graph.h:203-208 ``BuildGlobalSampler``).
+
+    Returns dict of numpy arrays:
+      ids      int32 [n]  — population sorted by type (values = member index)
+      type_ptr int64 [num_types+1]
+      prob     f32   [n]
+      alias    int32 [n]  — *within-type* alias slot
+      w_sum    f32   [num_types] — per-type total weight (used for
+                 proportional cross-shard root sampling,
+                 reference: euler/client/query_proxy.cc:93-145)
+    """
+    n = len(type_of)
+    order = np.argsort(type_of, kind="stable").astype(np.int32)
+    sorted_types = type_of[order]
+    type_ptr = np.searchsorted(sorted_types, np.arange(num_types + 1)).astype(
+        np.int64)
+    prob = np.zeros(n, np.float32)
+    alias = np.zeros(n, np.int32)
+    w_sum = np.zeros(num_types, np.float32)
+    for t in range(num_types):
+        lo, hi = type_ptr[t], type_ptr[t + 1]
+        p, a = build_alias_table(weights[order[lo:hi]])
+        prob[lo:hi] = p
+        alias[lo:hi] = a
+        w_sum[t] = float(weights[order[lo:hi]].sum())
+    return dict(ids=order, type_ptr=type_ptr, prob=prob, alias=alias,
+                w_sum=w_sum)
+
+
+def alias_draw(key, prob, alias, segment_start, segment_size, shape):
+    """Draw ``shape`` samples from the alias table segment.
+
+    segment_start/segment_size may be traced scalars (per-type segments).
+    Returns int32 indices in [segment_start, segment_start + segment_size)
+    into the table's population array; -1 where segment is empty.
+    """
+    k1, k2 = jax.random.split(key)
+    u1 = jax.random.uniform(k1, shape)
+    u2 = jax.random.uniform(k2, shape)
+    size = jnp.maximum(segment_size, 1)
+    slot = jnp.minimum((u1 * size).astype(jnp.int32), size - 1)
+    idx = segment_start + slot
+    keep = u2 < prob[idx]
+    picked = jnp.where(keep, slot, alias[idx])
+    out = segment_start + picked
+    return jnp.where(segment_size > 0, out, -1).astype(jnp.int32)
