@@ -1,0 +1,281 @@
+"""Jit-compiled graph sampling ops.
+
+TPU-native counterparts of the reference's query kernels
+(reference: euler/core/kernels/sample_node_op.cc, sample_neighbor_op.cc,
+get_feature_op.cc and the tf_euler wrappers
+tf_euler/python/euler_ops/{sample,neighbor}_ops.py). Where the reference
+issues a GQL string per batch through a DAG executor, here every verb is a
+pure function over ``GraphTensors`` that traces into the training step's
+XLA program: ragged results become fixed-shape padded blocks with masks
+(SURVEY.md §7 "Fixed shapes vs ragged graph data"), and missing neighbors
+get ``default_id`` with weight 0 — the convention of
+tf_euler/kernels/sample_fanout_op.cc:109-113.
+
+Conventions:
+  * node ids are int32 local ids; ``-1`` marks "no node" / padding
+  * ``edge_types`` arguments are static tuples of edge-type ids
+  * every randomized op takes an explicit jax PRNG key
+"""
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from euler_tpu.graph.store import GraphTensors
+from euler_tpu.ops.alias import alias_draw
+
+Array = jnp.ndarray
+
+
+def _as_etypes(g: GraphTensors, edge_types) -> Tuple[int, ...]:
+    if isinstance(edge_types, (int, str)):
+        edge_types = (edge_types,)
+    return tuple(g.meta.edge_type_id(t) for t in edge_types)
+
+
+# ---------------------------------------------------------------------------
+# global node / edge sampling (alias tables)
+# ---------------------------------------------------------------------------
+
+def sample_node(g: GraphTensors, key, count: int, node_type=-1) -> Array:
+    """Weighted global node sampling.
+
+    reference: API_SAMPLE_NODE (euler/core/kernels/sample_node_op.cc) via
+    per-type alias tables (graph.h:133). ``node_type=-1`` samples across all
+    types proportionally to per-type weight sums.
+    """
+    na = g.node_alias
+    if isinstance(node_type, str):
+        node_type = g.meta.node_type_id(node_type)
+    if node_type == -1:
+        kt, kd = jax.random.split(key)
+        cdf = jnp.cumsum(na.w_sum)
+        r = jax.random.uniform(kt, (count,)) * cdf[-1]
+        t = jnp.searchsorted(cdf, r, side="right").astype(jnp.int32)
+        t = jnp.minimum(t, na.w_sum.shape[0] - 1)
+        lo = na.type_ptr[t]
+        size = na.type_ptr[t + 1] - lo
+        pos = alias_draw(kd, na.prob, na.alias, lo, size, (count,))
+    else:
+        lo = na.type_ptr[node_type]
+        size = na.type_ptr[node_type + 1] - lo
+        pos = alias_draw(key, na.prob, na.alias, lo, size, (count,))
+    return jnp.where(pos >= 0, na.ids[jnp.maximum(pos, 0)], -1)
+
+
+def sample_node_with_src(g: GraphTensors, key, src_nodes: Array,
+                         count: int) -> Array:
+    """For each src node, sample ``count`` nodes of the same node type
+    (negative sampling; reference: tf_euler sample_ops.sample_node_with_src /
+    API_SAMPLE_N_WITH_TYPES)."""
+    na = g.node_alias
+    types = g.node_type[jnp.maximum(src_nodes, 0)]
+    lo = na.type_ptr[types][:, None]
+    size = (na.type_ptr[types + 1] - na.type_ptr[types])[:, None]
+    pos = alias_draw(key, na.prob, na.alias, lo, size,
+                     (src_nodes.shape[0], count))
+    return jnp.where(pos >= 0, na.ids[jnp.maximum(pos, 0)], -1)
+
+
+def sample_edge(g: GraphTensors, key, count: int, edge_type=-1):
+    """Weighted global edge sampling; returns (src, dst, etype, eid).
+
+    reference: API_SAMPLE_EDGE (euler/core/kernels/sample_edge_op.cc)."""
+    ea = g.edge_alias
+    if isinstance(edge_type, str):
+        edge_type = g.meta.edge_type_id(edge_type)
+    if edge_type == -1:
+        kt, kd = jax.random.split(key)
+        cdf = jnp.cumsum(ea.w_sum)
+        r = jax.random.uniform(kt, (count,)) * cdf[-1]
+        t = jnp.searchsorted(cdf, r, side="right").astype(jnp.int32)
+        t = jnp.minimum(t, ea.w_sum.shape[0] - 1)
+        lo = ea.type_ptr[t]
+        size = ea.type_ptr[t + 1] - lo
+        pos = alias_draw(kd, ea.prob, ea.alias, lo, size, (count,))
+    else:
+        lo = ea.type_ptr[edge_type]
+        size = ea.type_ptr[edge_type + 1] - lo
+        pos = alias_draw(key, ea.prob, ea.alias, lo, size, (count,))
+    slot = jnp.where(pos >= 0, ea.ids[jnp.maximum(pos, 0)], -1)
+    ok = slot >= 0
+    s = jnp.maximum(slot, 0)
+    return (jnp.where(ok, g.adj_src[s], -1),
+            jnp.where(ok, g.adj_dst[s], -1),
+            jnp.where(ok, g.adj_type[s], -1),
+            jnp.where(ok, g.adj_eid[s], -1))
+
+
+# ---------------------------------------------------------------------------
+# neighbor sampling over the grouped CSR
+# ---------------------------------------------------------------------------
+
+def _group_bounds(g: GraphTensors, rows: Array, etype: Array):
+    """(lo, hi) CSR slot bounds of group (row, etype); rows/etype broadcast."""
+    ET = g.meta.num_edge_types
+    gidx = rows * ET + etype
+    return g.group_ptr[gidx], g.group_ptr[gidx + 1]
+
+
+def _weighted_group_draw(g: GraphTensors, key, rows: Array, etype: Array,
+                         shape):
+    """Weighted draw of one CSR slot per (row, etype) entry.
+
+    One uniform + one searchsorted on the global weight prefix sum — the
+    vectorized CompactWeightedCollection (SURVEY.md cross-cutting layout).
+    rows/etype must already have ``shape``. Returns slot, -1 where empty.
+    """
+    lo, hi = _group_bounds(g, rows, etype)
+    w_lo = jnp.where(lo > 0, g.adj_w_cumsum[jnp.maximum(lo - 1, 0)], 0.0)
+    w_hi = jnp.where(hi > 0, g.adj_w_cumsum[jnp.maximum(hi - 1, 0)], 0.0)
+    u = jax.random.uniform(key, shape)
+    target = w_lo + u * (w_hi - w_lo)
+    slot = jnp.searchsorted(g.adj_w_cumsum, target, side="left")
+    slot = jnp.clip(slot, lo, jnp.maximum(hi - 1, 0)).astype(jnp.int32)
+    return jnp.where(hi > lo, slot, -1)
+
+
+def sample_neighbor(g: GraphTensors, key, nodes: Array, edge_types,
+                    count: int, default_id: int = -1):
+    """Sample ``count`` weighted neighbors per node from the union of the
+    given edge-type groups (with replacement, like the reference).
+
+    reference: API_SAMPLE_NB -> Node::SampleNeighbor (euler/core/graph/
+    node.h:82, per-edge-type-group CompactWeightedCollection) and the TF op
+    SampleNeighbor (tf_euler/python/euler_ops/neighbor_ops.py:33-70).
+
+    Returns (nbr_ids [B,count], weights, types, eids); missing neighbors are
+    ``default_id`` with weight 0 / type -1 / eid -1.
+    """
+    ets = _as_etypes(g, edge_types)
+    nodes = jnp.asarray(nodes, jnp.int32)
+    B = nodes.shape[0]
+    rows = jnp.maximum(nodes, 0)
+    kt, kd = jax.random.split(key)
+
+    et_arr = jnp.asarray(ets, jnp.int32)                      # [K]
+    W = g.group_w_sum[rows][:, et_arr]                        # [B,K]
+    cdf = jnp.cumsum(W, axis=1)
+    total = cdf[:, -1]
+    r = jax.random.uniform(kt, (B, count)) * total[:, None]
+    t_idx = jnp.sum(r[:, :, None] >= cdf[:, None, :], axis=-1)
+    t_idx = jnp.minimum(t_idx, len(ets) - 1)
+    etype = et_arr[t_idx]                                     # [B,count]
+
+    slot = _weighted_group_draw(g, kd, rows[:, None], etype, (B, count))
+    ok = (slot >= 0) & (nodes >= 0)[:, None] & (total > 0)[:, None]
+    s = jnp.maximum(slot, 0)
+    nbr = jnp.where(ok, g.adj_dst[s], default_id)
+    w = jnp.where(ok, g.adj_w[s], 0.0)
+    ty = jnp.where(ok, g.adj_type[s], -1)
+    eid = jnp.where(ok, g.adj_eid[s], -1)
+    return nbr, w, ty, eid
+
+
+def get_full_neighbor(g: GraphTensors, nodes: Array, edge_types, cap: int,
+                      default_id: int = -1, sorted_by_id: bool = False):
+    """Padded full neighborhood over the union of edge-type groups.
+
+    reference: API_GET_NB_NODE GetFullNeighbor / GetSortedFullNeighbor
+    (euler/core/graph/node.h:87-99); the reference returns a SparseTensor,
+    here a fixed [B, cap] block + mask (jit-static shape). Neighbors beyond
+    ``cap`` are dropped (weight-descending order is NOT applied — use
+    get_top_k_neighbor for that).
+    """
+    ets = _as_etypes(g, edge_types)
+    nodes = jnp.asarray(nodes, jnp.int32)
+    B = nodes.shape[0]
+    rows = jnp.maximum(nodes, 0)
+    et_arr = jnp.asarray(ets, jnp.int32)
+    lo, hi = _group_bounds(g, rows[:, None], et_arr[None, :])  # [B,K]
+    deg = hi - lo
+    offs = jnp.concatenate(
+        [jnp.zeros((B, 1), deg.dtype), jnp.cumsum(deg, axis=1)], axis=1)
+    total = offs[:, -1]
+
+    j = jnp.arange(cap, dtype=jnp.int32)                      # [cap]
+    # group k owns positions [offs[k], offs[k+1])
+    k_idx = jnp.sum(j[None, :, None] >= offs[:, None, 1:], axis=-1)
+    k_idx = jnp.minimum(k_idx, len(ets) - 1)
+    base = jnp.take_along_axis(lo, k_idx, axis=1)
+    off_k = jnp.take_along_axis(offs[:, :-1], k_idx, axis=1)
+    slot = base + (j[None, :] - off_k)
+    ok = (j[None, :] < total[:, None]) & (nodes >= 0)[:, None]
+    s = jnp.clip(slot, 0, g.adj_dst.shape[0] - 1)
+    nbr = jnp.where(ok, g.adj_dst[s], default_id)
+    w = jnp.where(ok, g.adj_w[s], 0.0)
+    ty = jnp.where(ok, g.adj_type[s], -1)
+    eid = jnp.where(ok, g.adj_eid[s], -1)
+    if sorted_by_id:
+        sort_key = jnp.where(ok, nbr, jnp.iinfo(jnp.int32).max)
+        order = jnp.argsort(sort_key, axis=1)
+        take = lambda x: jnp.take_along_axis(x, order, axis=1)
+        nbr, w, ty, eid, ok = take(nbr), take(w), take(ty), take(eid), take(ok)
+    return nbr, w, ty, eid, ok
+
+
+def get_top_k_neighbor(g: GraphTensors, nodes: Array, edge_types, k: int,
+                       cap: int = None, default_id: int = -1):
+    """Top-k neighbors by edge weight (reference: API_GET_NB_NODE TopK,
+    node.h:100; tf op GetTopKNeighbor)."""
+    cap = cap or max(k, 16)
+    nbr, w, ty, eid, ok = get_full_neighbor(g, nodes, edge_types, cap,
+                                            default_id)
+    neg = jnp.where(ok, w, -jnp.inf)
+    _, idx = jax.lax.top_k(neg, k)
+    take = lambda x: jnp.take_along_axis(x, idx, axis=1)
+    nbr, w, ty, eid, ok = take(nbr), take(w), take(ty), take(eid), take(ok)
+    nbr = jnp.where(ok, nbr, default_id)
+    return nbr, jnp.where(ok, w, 0.0), jnp.where(ok, ty, -1), \
+        jnp.where(ok, eid, -1), ok
+
+
+def sample_fanout(g: GraphTensors, key, nodes: Array, edge_types_per_hop,
+                  counts: Sequence[int], default_id: int = -1):
+    """Multi-hop fanout sampling (GraphSAGE inner loop).
+
+    reference: SampleFanout (tf_euler/kernels/sample_fanout_op.cc:30-148),
+    which builds a sampleNB GQL chain; here it is a python loop of
+    ``sample_neighbor`` calls that unrolls into one XLA program.
+
+    Returns (hop_nodes, hop_weights, hop_types, hop_eids): hop_nodes[0] is
+    ``nodes``; hop_nodes[i] has shape [B * prod(counts[:i])].
+    """
+    nodes = jnp.asarray(nodes, jnp.int32).reshape(-1)
+    hop_nodes = [nodes]
+    hop_w, hop_ty, hop_eid = [], [], []
+    cur = nodes
+    for i, (ets, cnt) in enumerate(zip(edge_types_per_hop, counts)):
+        key, sub = jax.random.split(key)
+        nbr, w, ty, eid = sample_neighbor(g, sub, cur, ets, cnt, default_id)
+        cur = nbr.reshape(-1)
+        hop_nodes.append(cur)
+        hop_w.append(w.reshape(-1))
+        hop_ty.append(ty.reshape(-1))
+        hop_eid.append(eid.reshape(-1))
+    return hop_nodes, hop_w, hop_ty, hop_eid
+
+
+def get_multi_hop_neighbor(g: GraphTensors, key, nodes: Array,
+                           edge_types_per_hop, counts: Sequence[int]):
+    """Like the reference's get_multi_hop_neighbor
+    (tf_euler/python/euler_ops/neighbor_ops.py:209-242) but with static
+    shapes: returns per-hop (frontier, edge_src_pos, edge_dst_nodes, mask)
+    where edge arrays describe the sampled bipartite adjacency."""
+    hop_nodes, hop_w, *_ = sample_fanout(g, key, nodes, edge_types_per_hop,
+                                         counts)
+    out = []
+    for i, cnt in enumerate(counts):
+        src = jnp.repeat(jnp.arange(hop_nodes[i].shape[0]), cnt)
+        dst = hop_nodes[i + 1]
+        mask = dst >= 0
+        out.append((hop_nodes[i + 1], src, dst, mask))
+    return out
+
+
+def get_node_type(g: GraphTensors, nodes: Array) -> Array:
+    """reference: API_GET_NODE_T (type_ops.py)."""
+    nodes = jnp.asarray(nodes, jnp.int32)
+    return jnp.where(nodes >= 0, g.node_type[jnp.maximum(nodes, 0)], -1)

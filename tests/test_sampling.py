@@ -1,0 +1,179 @@
+"""Sampling op tests: shapes, masks, and empirical distributions.
+
+Mirrors the reference's sampler assertions
+(reference: euler/core/graph/graph_test.cc:92-140 distribution checks,
+tf_euler/python/euler_ops/{sample,neighbor}_ops_test.py)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from euler_tpu.ops import feature_ops, sampling
+from tests import fixtures
+
+
+def _et(g, name):
+    return g.meta.edge_types.index(name)
+
+
+def test_sample_node_distribution(toy_graph):
+    g = toy_graph.tensors
+    key = jax.random.PRNGKey(0)
+    item = g.meta.node_types.index("item")
+    ids = np.asarray(sampling.sample_node(g, key, 40_000, item))
+    assert ids.min() >= 0
+    # items are local ids 0,2,4,6 with weights 1,3,5,7
+    exts = toy_graph.ext_ids[ids]
+    assert set(exts.tolist()) <= {100, 102, 104, 106}
+    freq = np.bincount(ids, minlength=8)[[0, 2, 4, 6]] / len(ids)
+    np.testing.assert_allclose(freq, np.array([1, 3, 5, 7]) / 16, atol=0.01)
+
+
+def test_sample_node_all_types(toy_graph):
+    g = toy_graph.tensors
+    ids = np.asarray(sampling.sample_node(g, jax.random.PRNGKey(1), 40_000,
+                                          -1))
+    freq = np.bincount(ids, minlength=8) / len(ids)
+    np.testing.assert_allclose(freq, np.arange(1, 9) / 36, atol=0.01)
+
+
+def test_sample_node_with_src(toy_graph):
+    g = toy_graph.tensors
+    src = jnp.asarray(toy_graph.local_ids([100, 101]))
+    out = np.asarray(sampling.sample_node_with_src(
+        g, jax.random.PRNGKey(2), src, 50))
+    nt = np.asarray(g.node_type)
+    assert (nt[out[0]] == nt[src[0]]).all()
+    assert (nt[out[1]] == nt[src[1]]).all()
+
+
+def test_sample_edge(toy_graph):
+    g = toy_graph.tensors
+    et_buy = _et(g, "buy")
+    src, dst, ty, eid = sampling.sample_edge(g, jax.random.PRNGKey(3),
+                                             20_000, et_buy)
+    src, dst, ty, eid = map(np.asarray, (src, dst, ty, eid))
+    assert (ty == et_buy).all()
+    # (104->101, w4) should be the most frequent buy edge (4 of 10 weight)
+    pair = src * 100 + dst
+    l104, l101 = toy_graph.local_id(104), toy_graph.local_id(101)
+    frac = (pair == l104 * 100 + l101).mean()
+    np.testing.assert_allclose(frac, 0.4, atol=0.02)
+    # eids consistent with the fixture edge list
+    for s, d, e in zip(src[:50], dst[:50], eid[:50]):
+        es, ed, _, _ = fixtures.EDGES[e]
+        assert toy_graph.ext_ids[s] == es and toy_graph.ext_ids[d] == ed
+
+
+def test_sample_neighbor_weighted(toy_graph):
+    g = toy_graph.tensors
+    et = _et(g, "click")
+    nodes = jnp.asarray([toy_graph.local_id(100)])
+    nbr, w, ty, eid = sampling.sample_neighbor(
+        g, jax.random.PRNGKey(4), nodes, (et,), 20_000)
+    nbr = np.asarray(nbr)[0]
+    exts = toy_graph.ext_ids[nbr]
+    freq103 = (exts == 103).mean()
+    np.testing.assert_allclose(freq103, 0.75, atol=0.02)  # w3 vs w1
+
+
+def test_sample_neighbor_union_of_types(toy_graph):
+    g = toy_graph.tensors
+    ets = (_et(g, "click"), _et(g, "buy"))
+    nodes = jnp.asarray([toy_graph.local_id(100)])
+    nbr, w, ty, eid = sampling.sample_neighbor(
+        g, jax.random.PRNGKey(5), nodes, ets, 30_000)
+    exts = toy_graph.ext_ids[np.asarray(nbr)[0]]
+    # weights: 101:1, 103:3 (click), 105:2 (buy) => total 6
+    np.testing.assert_allclose((exts == 103).mean(), 3 / 6, atol=0.02)
+    np.testing.assert_allclose((exts == 105).mean(), 2 / 6, atol=0.02)
+
+
+def test_sample_neighbor_empty_pads_default(toy_graph):
+    g = toy_graph.tensors
+    nodes = jnp.asarray([toy_graph.local_id(107), -1])
+    nbr, w, ty, eid = sampling.sample_neighbor(
+        g, jax.random.PRNGKey(6), nodes, (0, 1), 5, default_id=-1)
+    assert (np.asarray(nbr) == -1).all()
+    assert (np.asarray(w) == 0).all()
+    assert (np.asarray(eid) == -1).all()
+
+
+def test_get_full_neighbor(toy_graph):
+    g = toy_graph.tensors
+    ets = (_et(g, "click"), _et(g, "buy"))
+    nodes = jnp.asarray(toy_graph.local_ids([100, 107]))
+    nbr, w, ty, eid, mask = sampling.get_full_neighbor(g, nodes, ets, cap=8)
+    nbr, mask = np.asarray(nbr), np.asarray(mask)
+    got = sorted(toy_graph.ext_ids[nbr[0][mask[0]]].tolist())
+    assert got == [101, 103, 105]
+    assert mask[1].sum() == 0
+    # sorted variant orders by id
+    nbr_s, *_, mask_s = sampling.get_full_neighbor(g, nodes, ets, cap=8,
+                                                   sorted_by_id=True)
+    valid = np.asarray(nbr_s)[0][np.asarray(mask_s)[0]]
+    assert list(valid) == sorted(valid.tolist())
+
+
+def test_get_top_k_neighbor(toy_graph):
+    g = toy_graph.tensors
+    ets = (_et(g, "click"), _et(g, "buy"))
+    nodes = jnp.asarray([toy_graph.local_id(100)])
+    nbr, w, ty, eid, mask = sampling.get_top_k_neighbor(g, nodes, ets, k=2,
+                                                        cap=8)
+    exts = sorted(toy_graph.ext_ids[np.asarray(nbr)[0]].tolist())
+    assert exts == [103, 105]  # weights 3 and 2 beat 1
+
+
+def test_sample_fanout_shapes(toy_graph):
+    g = toy_graph.tensors
+    nodes = jnp.asarray(toy_graph.local_ids([100, 102, 104]))
+    hop_nodes, hop_w, hop_ty, hop_eid = sampling.sample_fanout(
+        g, jax.random.PRNGKey(7), nodes, [(0, 1), (0, 1)], [3, 2])
+    assert hop_nodes[0].shape == (3,)
+    assert hop_nodes[1].shape == (9,)
+    assert hop_nodes[2].shape == (18,)
+    assert hop_w[0].shape == (9,)
+
+
+def test_sample_fanout_jit(toy_graph):
+    g = toy_graph.tensors
+    f = jax.jit(lambda g, k, n: sampling.sample_fanout(
+        g, k, n, [(0, 1)], [4]))
+    hop_nodes, *_ = f(g, jax.random.PRNGKey(8),
+                      jnp.asarray([0, 1], jnp.int32))
+    assert hop_nodes[1].shape == (8,)
+
+
+def test_node_type(toy_graph):
+    g = toy_graph.tensors
+    nodes = jnp.asarray([0, 1, -1], jnp.int32)
+    ty = np.asarray(sampling.get_node_type(g, nodes))
+    item = g.meta.node_types.index("item")
+    user = g.meta.node_types.index("user")
+    assert ty.tolist() == [item, user, -1]
+
+
+def test_dense_feature(toy_graph):
+    g = toy_graph.tensors
+    nodes = jnp.asarray([toy_graph.local_id(102), -1], jnp.int32)
+    (d,) = feature_ops.get_dense_feature(g, nodes, ["dense2"])
+    np.testing.assert_allclose(np.asarray(d),
+                               [[102.0, 10.2], [0.0, 0.0]], rtol=1e-5)
+
+
+def test_sparse_feature(toy_graph):
+    g = toy_graph.tensors
+    nodes = jnp.asarray([toy_graph.local_id(103)], jnp.int32)
+    ((ids, mask),) = feature_ops.get_sparse_feature(g, nodes, ["sparse_ids"])
+    ids, mask = np.asarray(ids), np.asarray(mask)
+    assert ids[0, 0] == 1030 and mask[0, 0] and not mask[0, 1]
+
+
+def test_edge_features_via_eid(toy_graph):
+    g = toy_graph.tensors
+    src, dst, ty, eid = sampling.sample_edge(g, jax.random.PRNGKey(9), 32, -1)
+    (d,) = feature_ops.get_edge_dense_feature(g, eid, ["edense"])
+    d, eid = np.asarray(d), np.asarray(eid)
+    for i in range(32):
+        assert d[i, 0] == fixtures.EDGES[eid[i]][3] * 10.0

@@ -1,0 +1,75 @@
+"""Random-walk + gen_pair tests (reference coverage:
+tf_euler/python/euler_ops/walk_ops_test.py)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from euler_tpu.ops import walk
+from tests import fixtures
+
+
+def test_random_walk_follows_edges(toy_graph):
+    g = toy_graph.tensors
+    adj = {}
+    for s, d, t, w in fixtures.EDGES:
+        adj.setdefault(toy_graph.local_id(s), set()).add(toy_graph.local_id(d))
+    nodes = jnp.asarray(toy_graph.local_ids([100, 102, 104]), jnp.int32)
+    paths = np.asarray(walk.random_walk(
+        g, jax.random.PRNGKey(0), nodes, (0, 1), walk_len=4))
+    assert paths.shape == (3, 5)
+    for row in paths:
+        for a, b in zip(row[:-1], row[1:]):
+            if b == -1:
+                assert a == -1 or len(adj.get(a, ())) == 0
+            else:
+                assert b in adj[a]
+
+
+def test_random_walk_dead_end_pads(toy_graph):
+    g = toy_graph.tensors
+    n107 = toy_graph.local_id(107)
+    paths = np.asarray(walk.random_walk(
+        g, jax.random.PRNGKey(1), jnp.asarray([n107], jnp.int32), (0, 1),
+        walk_len=3, default_id=-1))
+    assert paths[0].tolist() == [n107, -1, -1, -1]
+
+
+def test_random_walk_node2vec_bias(toy_graph):
+    """q -> 0+ strongly favors exploration away from prev's neighborhood;
+    p -> 0+ favors returning. Check return probability shifts with p."""
+    g = toy_graph.tensors
+    # node 101 <-> 100 edge exists both ways ("click")
+    n101 = toy_graph.local_id(101)
+    starts = jnp.full((2000,), n101, jnp.int32)
+    # step1 from 101 always goes to 100 (only out-neighbor).
+    # step2 from 100: neighbors {101 (=prev, w1), 103 (w3), 105 (buy w2)}
+    def frac_return(p, q, seed):
+        paths = np.asarray(walk.random_walk(
+            g, jax.random.PRNGKey(seed), starts, (0, 1), walk_len=2,
+            p=p, q=q))
+        step2 = paths[:, 2]
+        return (toy_graph.ext_ids[np.maximum(step2, 0)] == 101).mean()
+
+    base = frac_return(1.0, 1.0, 2)      # unbiased: 1/6
+    ret = frac_return(0.25, 1.0, 3)      # low p: return boosted
+    away = frac_return(4.0, 1.0, 4)      # high p: return suppressed
+    np.testing.assert_allclose(base, 1 / 6, atol=0.03)
+    assert ret > base + 0.05
+    assert away < base - 0.02
+
+
+def test_gen_pair_matches_reference_layout():
+    paths = jnp.asarray([[10, 11, 12, 13]], jnp.int32)
+    pairs = np.asarray(walk.gen_pair(paths, 1, 1))
+    # reference gen_pair_op.cc: per j, left then right contexts
+    expect = [(10, 11), (11, 10), (11, 12), (12, 11), (12, 13), (13, 12)]
+    assert pairs.shape == (1, 6, 2)
+    assert [tuple(x) for x in pairs[0]] == expect
+
+
+def test_gen_pair_window2():
+    paths = jnp.asarray([[1, 2, 3]], jnp.int32)
+    pairs = np.asarray(walk.gen_pair(paths, 2, 2))
+    # closed-form count from gen_pair_op.cc:47-55:
+    # L*(lw+rw) - sum_{i} ... = 3*4 - (2+1) - (2+1) = 6
+    assert pairs.shape == (1, 6, 2)
