@@ -1,0 +1,166 @@
+"""GNN nets + supervised/unsupervised heads.
+
+TPU-native counterpart of the reference's model templates
+(reference: tf_euler/python/mp_utils/base_gnn.py:27-139 ``BaseGNNNet`` /
+``JKGNNNet`` and mp_utils/base.py:24-91 ``SuperviseModel`` /
+``UnsuperviseModel``). The sample->gather->aggregate pipeline traces into
+one XLA program: the dataflow runs under ``self.make_rng('sample')``.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from euler_tpu.dataflow.block import Block
+from euler_tpu.graph.store import GraphTensors
+from euler_tpu.models import convs as convs_lib
+from euler_tpu.ops import feature_ops, mp_ops, sampling
+
+Array = jnp.ndarray
+
+
+class GNNNet(nn.Module):
+    """Stack of graph convolutions over a dataflow.
+
+    reference: BaseGNNNet.__call__ (mp_utils/base_gnn.py:74-92): dataflow ->
+    to_x(features) -> per-block gather(res_n_id) + conv + relu -> final
+    dense. ``feature`` is the to_x featurizer submodule.
+    """
+
+    conv: str
+    flow: Any                      # dataflow callable (static pytree-leaf-free)
+    dims: Tuple[int, ...]          # hidden dims per layer + [output dim]
+    feature: nn.Module
+    conv_kwargs: dict = None
+    relation_from_etype: bool = False  # feed edge types as RGCN edge_attr
+
+    def _make_conv(self, dim, i):
+        cls = convs_lib.get_conv_class(self.conv)
+        kw = dict(self.conv_kwargs or {})
+        return cls(dim=dim, name=f"conv_{i}", **kw)
+
+    @nn.compact
+    def __call__(self, g: GraphTensors, roots: Array) -> Array:
+        key = self.make_rng("sample")
+        blocks = self.flow(g, key, roots)
+        x = self.feature(g, blocks[0].n_id)
+        for i, block in enumerate(blocks):
+            conv = self._make_conv(self.dims[i], i)
+            x_tgt = x[: block.size[0]]
+            if self.relation_from_etype:
+                eid = jnp.maximum(block.e_id, 0)
+                edge_attr = jnp.where(block.e_id >= 0, g.adj_type[eid], 0)
+                x = conv((x_tgt, x), block, edge_attr=edge_attr)
+            else:
+                x = conv((x_tgt, x), block)
+            x = nn.relu(x)
+        return nn.Dense(self.dims[-1], name="out_fc")(x)
+
+
+class JKGNNNet(nn.Module):
+    """Jumping-knowledge variant (reference: base_gnn.py:94-139)."""
+
+    conv: str
+    flow: Any
+    dims: Tuple[int, ...]
+    feature: nn.Module
+    jk_mode: str = "concat"  # 'concat' | 'maxpool'
+    conv_kwargs: dict = None
+
+    @nn.compact
+    def __call__(self, g: GraphTensors, roots: Array) -> Array:
+        key = self.make_rng("sample")
+        blocks = self.flow(g, key, roots)
+        x = self.feature(g, blocks[0].n_id)
+        jk_hidden = []
+        cls = convs_lib.get_conv_class(self.conv)
+        for i, block in enumerate(blocks):
+            conv = cls(dim=self.dims[i], name=f"conv_{i}",
+                       **(self.conv_kwargs or {}))
+            x_tgt = x[: block.size[0]]
+            x = nn.relu(conv((x_tgt, x), block))
+            jk_hidden = [h[: block.size[0]] for h in jk_hidden]
+            jk_hidden.append(x)
+        if self.jk_mode == "concat":
+            x = jnp.concatenate(jk_hidden, axis=1)
+        else:
+            x = jnp.sum(jnp.stack(jk_hidden, 1), 1)
+        return nn.Dense(self.dims[-1], name="out_fc")(x)
+
+
+class EmbedOnly(nn.Module):
+    """Pure id-embedding 'net' (DeepWalk/LINE context towers)."""
+
+    max_id: int
+    dim: int
+
+    @nn.compact
+    def __call__(self, g: GraphTensors, roots: Array) -> Array:
+        table = nn.Embed(self.max_id + 2, self.dim)
+        ids = jnp.where(roots >= 0, roots, self.max_id + 1)
+        return table(ids)
+
+
+class SuperviseModel(nn.Module):
+    """Multi-label supervised head: sigmoid CE + f1
+    (reference: mp_utils/base.py:24-48)."""
+
+    embedder: nn.Module
+    label_name: str
+    label_dim: int
+
+    @nn.compact
+    def __call__(self, g: GraphTensors, roots: Array):
+        (label,) = feature_ops.get_dense_feature(g, roots, [self.label_name])
+        label = label[:, : self.label_dim]
+        emb = self.embedder(g, roots)
+        logit = nn.Dense(self.label_dim, use_bias=False,
+                         name="head_fc")(emb)
+        valid = (roots >= 0).astype(jnp.float32)[:, None]
+        xent = _sigmoid_xent(logit, label) * valid
+        loss = jnp.sum(xent) / jnp.maximum(jnp.sum(valid) * self.label_dim,
+                                           1.0)
+        return dict(embedding=emb, logit=logit, label=label, loss=loss,
+                    valid=valid)
+
+
+class UnsuperviseModel(nn.Module):
+    """Skip-gram-style head: src/pos/neg sigmoid CE + mrr
+    (reference: mp_utils/base.py:50-91)."""
+
+    embedder: nn.Module
+    context_embedder: nn.Module
+    edge_types: Tuple[int, ...]
+    node_type: int = -1
+    num_negs: int = 20
+
+    @nn.compact
+    def __call__(self, g: GraphTensors, roots: Array):
+        ks, kn = jax.random.split(self.make_rng("sample"))
+        B = roots.shape[0]
+        pos, _, _, _ = sampling.sample_neighbor(g, ks, roots,
+                                                self.edge_types, 1)
+        negs = sampling.sample_node(g, kn, B * self.num_negs,
+                                    self.node_type).reshape(B, self.num_negs)
+        emb = self.embedder(g, roots)                       # [B, D]
+        emb_pos = self.context_embedder(g, pos[:, 0])       # [B, D]
+        emb_negs = self.context_embedder(
+            g, negs.reshape(-1)).reshape(B, self.num_negs, -1)
+        logits = jnp.sum(emb * emb_pos, axis=-1, keepdims=True)   # [B,1]
+        neg_logits = jnp.einsum("bd,bnd->bn", emb, emb_negs)      # [B,N]
+        pos_ok = (pos[:, 0] >= 0).astype(jnp.float32)[:, None]
+        true_xent = _sigmoid_xent(logits, jnp.ones_like(logits)) * pos_ok
+        neg_xent = _sigmoid_xent(neg_logits, jnp.zeros_like(neg_logits))
+        loss = (jnp.sum(true_xent) + jnp.sum(neg_xent)) / (
+            jnp.maximum(jnp.sum(pos_ok), 1.0) + neg_xent.size)
+        return dict(embedding=emb, logits=logits, neg_logits=neg_logits,
+                    loss=loss, pos_mask=pos_ok)
+
+
+def _sigmoid_xent(logits, labels):
+    """tf.nn.sigmoid_cross_entropy_with_logits."""
+    return jnp.maximum(logits, 0) - logits * labels + \
+        jnp.log1p(jnp.exp(-jnp.abs(logits)))
