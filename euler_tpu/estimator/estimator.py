@@ -1,0 +1,255 @@
+"""Training/eval/inference loops.
+
+TPU-native counterpart of the reference's estimator layer
+(reference: euler_estimator/python/base_estimator.py:28-188 — train /
+evaluate / infer / train_and_evaluate on tf.estimator with model_dir
+checkpointing; node_estimator.py:26, edge_estimator.py:27).
+
+Re-design: the tf.estimator machinery collapses to a jitted train step +
+optax optimizer + orbax checkpointing. The model is any flax module whose
+``__call__(g, batch)`` returns a dict with at least ``loss``; batch sources
+(sampled nodes / edges / id files) are provided by the subclasses exactly
+like the reference's get_train_from_input hooks.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from typing import Any, Callable, Dict, Iterable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from euler_tpu.graph.store import Graph
+from euler_tpu.ops import sampling
+from euler_tpu.utils import metrics as metrics_lib
+
+
+def get_optimizer(name: str, lr: float) -> optax.GradientTransformation:
+    """reference: tf_euler/python/utils/optimizers.py:23-31."""
+    return {
+        "sgd": lambda: optax.sgd(lr),
+        "momentum": lambda: optax.sgd(lr, momentum=0.9),
+        "adagrad": lambda: optax.adagrad(lr),
+        "adam": lambda: optax.adam(lr),
+    }[name]()
+
+
+@dataclasses.dataclass
+class RunConfig:
+    model_dir: str = "/tmp/euler_tpu_model"
+    batch_size: int = 512
+    total_steps: int = 1000
+    optimizer: str = "adam"
+    learning_rate: float = 0.01
+    log_steps: int = 100
+    save_steps: int = 0          # 0 => only at end
+    seed: int = 0
+    metric: str = "f1"
+
+
+class BaseEstimator:
+    """Generic run loops; subclasses provide the batch source."""
+
+    def __init__(self, model, graph: Graph, config: RunConfig):
+        self.model = model
+        self.graph = graph
+        self.config = config
+        self.tx = get_optimizer(config.optimizer, config.learning_rate)
+        self._params = None
+        self._train_step = None
+
+    # ---- batch sources (subclass hooks) -----------------------------------
+    def train_batch(self, g, key):
+        """Return the per-step model input (traced)."""
+        raise NotImplementedError
+
+    # ---- param init / checkpointing ---------------------------------------
+    def _init_params(self, key):
+        g = self.graph.tensors
+        kp, ks, kb = jax.random.split(key, 3)
+        batch = self.train_batch(g, kb)
+        return self.model.init({"params": kp, "sample": ks}, g, batch)
+
+    @property
+    def params(self):
+        if self._params is None:
+            self._params = self._restore() or self._init_params(
+                jax.random.PRNGKey(self.config.seed))
+        return self._params
+
+    def _ckpt_dir(self):
+        return os.path.join(os.path.abspath(self.config.model_dir), "ckpt")
+
+    def _save(self, step):
+        try:
+            import orbax.checkpoint as ocp
+            path = os.path.join(self._ckpt_dir(), str(step))
+            ckptr = ocp.StandardCheckpointer()
+            ckptr.save(path, self._params, force=True)
+            ckptr.wait_until_finished()
+            with open(os.path.join(self._ckpt_dir(), "latest"), "w") as f:
+                f.write(str(step))
+        except Exception as e:  # pragma: no cover
+            print(f"[euler_tpu] checkpoint save failed: {e}")
+
+    def _restore(self):
+        try:
+            import orbax.checkpoint as ocp
+            latest = os.path.join(self._ckpt_dir(), "latest")
+            if not os.path.exists(latest):
+                return None
+            with open(latest) as f:
+                step = f.read().strip()
+            path = os.path.join(self._ckpt_dir(), step)
+            ref = self._init_params(jax.random.PRNGKey(self.config.seed))
+            return ocp.StandardCheckpointer().restore(path, ref)
+        except Exception:
+            return None
+
+    # ---- loops -------------------------------------------------------------
+    def train(self, total_steps: Optional[int] = None,
+              log_fn: Callable = print) -> Dict[str, float]:
+        cfg = self.config
+        total = total_steps or cfg.total_steps
+        g = self.graph.tensors
+        params = self.params
+        opt_state = self.tx.init(params)
+
+        model, tx, batch_fn = self.model, self.tx, self.train_batch
+
+        @jax.jit
+        def step(params, opt_state, key):
+            kb, ks = jax.random.split(key)
+            batch = batch_fn(g, kb)
+
+            def loss_fn(p):
+                out = model.apply(p, g, batch, rngs={"sample": ks})
+                return out["loss"], out
+
+            (loss, out), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+            updates, opt_state2 = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state2, loss
+
+        key = jax.random.PRNGKey(cfg.seed + 1)
+        t0 = time.time()
+        last_loss = float("nan")
+        for i in range(total):
+            key, sub = jax.random.split(key)
+            params, opt_state, loss = step(params, opt_state, sub)
+            if cfg.log_steps and (i + 1) % cfg.log_steps == 0:
+                last_loss = float(loss)
+                rate = (i + 1) * cfg.batch_size / (time.time() - t0)
+                log_fn(f"[euler_tpu] step {i + 1}/{total} "
+                       f"loss={last_loss:.4f} ({rate:.0f} ex/s)")
+            if cfg.save_steps and (i + 1) % cfg.save_steps == 0:
+                self._params = params
+                self._save(i + 1)
+        self._params = params
+        self._save(total)
+        return {"loss": float(last_loss) if last_loss == last_loss
+                else float(loss), "steps": total}
+
+    def _batched_apply(self, ids: np.ndarray, fn):
+        """Pad ids to batch multiples, run jitted fn, strip padding."""
+        cfg = self.config
+        B = cfg.batch_size
+        n = len(ids)
+        pad = (-n) % B
+        padded = np.concatenate([ids, np.full(pad, -1, ids.dtype)])
+        outs = []
+        key = jax.random.PRNGKey(cfg.seed + 2)
+        for i in range(0, len(padded), B):
+            key, sub = jax.random.split(key)
+            outs.append(fn(self.params, jnp.asarray(padded[i:i + B]), sub))
+        return outs, n
+
+    def evaluate(self, ids: Sequence[int]) -> Dict[str, float]:
+        g = self.graph.tensors
+        model = self.model
+        metric_name = self.config.metric
+        metric = metrics_lib.get(metric_name)
+
+        @jax.jit
+        def eval_fn(params, batch, key):
+            out = model.apply(params, g, batch, rngs={"sample": key})
+            return out
+
+        ids = np.asarray(ids, np.int32)
+        outs, n = self._batched_apply(ids, eval_fn)
+        # supervised: f1/acc from logits+labels; unsupervised: mrr
+        if "logit" in outs[0]:
+            logits = np.concatenate([np.asarray(o["logit"]) for o in outs])
+            labels = np.concatenate([np.asarray(o["label"]) for o in outs])
+            logits, labels = logits[:n], labels[:n]
+            if metric_name in ("f1",):
+                val = metric(jnp.asarray(labels),
+                             jax.nn.sigmoid(jnp.asarray(logits)))
+            else:
+                val = metric(jnp.asarray(labels), jnp.asarray(logits))
+        else:
+            pos = np.concatenate([np.asarray(o["logits"]) for o in outs])[:n]
+            neg = np.concatenate(
+                [np.asarray(o["neg_logits"]) for o in outs])[:n]
+            val = metric(jnp.asarray(pos), jnp.asarray(neg))
+        loss = float(np.mean([float(o["loss"]) for o in outs]))
+        return {metric_name: float(val), "loss": loss}
+
+    def infer(self, ids: Sequence[int], out_dir: Optional[str] = None,
+              worker: int = 0):
+        """Embeddings for ids; optionally written as
+        embedding_{worker}.npy + ids_{worker}.npy
+        (reference: base_estimator.py:157-179)."""
+        g = self.graph.tensors
+        model = self.model
+
+        @jax.jit
+        def embed_fn(params, batch, key):
+            out = model.apply(params, g, batch, rngs={"sample": key})
+            return out["embedding"]
+
+        ids = np.asarray(ids, np.int32)
+        outs, n = self._batched_apply(ids, embed_fn)
+        emb = np.concatenate([np.asarray(o) for o in outs])[:n]
+        if out_dir:
+            os.makedirs(out_dir, exist_ok=True)
+            np.save(os.path.join(out_dir, f"embedding_{worker}.npy"), emb)
+            np.save(os.path.join(out_dir, f"ids_{worker}.npy"), ids)
+        return emb
+
+    def train_and_evaluate(self, eval_ids):
+        res = self.train()
+        res.update(self.evaluate(eval_ids))
+        return res
+
+
+class NodeEstimator(BaseEstimator):
+    """Train source = sample_node(batch, node_type)
+    (reference: node_estimator.py:31-51)."""
+
+    def __init__(self, model, graph, config, train_node_type=-1):
+        super().__init__(model, graph, config)
+        self.train_node_type = train_node_type
+
+    def train_batch(self, g, key):
+        return sampling.sample_node(g, key, self.config.batch_size,
+                                    self.train_node_type)
+
+
+class EdgeEstimator(BaseEstimator):
+    """Train source = sample_edge(batch, edge_type); the model receives
+    (src, dst, etype) stacked [B,3] (reference: edge_estimator.py:32-72)."""
+
+    def __init__(self, model, graph, config, train_edge_type=-1):
+        super().__init__(model, graph, config)
+        self.train_edge_type = train_edge_type
+
+    def train_batch(self, g, key):
+        src, dst, ty, _ = sampling.sample_edge(
+            g, key, self.config.batch_size, self.train_edge_type)
+        return jnp.stack([src, dst, ty], axis=1)

@@ -57,6 +57,10 @@ class GNNNet(nn.Module):
             else:
                 x = conv((x_tgt, x), block)
             x = nn.relu(x)
+        if x.shape[0] != roots.shape[0]:
+            # whole-graph flow: pick out the requested rows
+            x = jnp.where((roots >= 0)[:, None],
+                          x[jnp.maximum(roots, 0)], 0.0)
         return nn.Dense(self.dims[-1], name="out_fc")(x)
 
 
@@ -88,6 +92,9 @@ class JKGNNNet(nn.Module):
             x = jnp.concatenate(jk_hidden, axis=1)
         else:
             x = jnp.sum(jnp.stack(jk_hidden, 1), 1)
+        if x.shape[0] != roots.shape[0]:
+            x = jnp.where((roots >= 0)[:, None],
+                          x[jnp.maximum(roots, 0)], 0.0)
         return nn.Dense(self.dims[-1], name="out_fc")(x)
 
 

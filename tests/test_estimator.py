@@ -1,0 +1,107 @@
+"""End-to-end training tests: the 'minimum slice' milestone
+(SURVEY.md §7 step 3) on a hermetic SBM graph instead of Cora."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from euler_tpu.dataflow import flows
+from euler_tpu.estimator.estimator import (EdgeEstimator, NodeEstimator,
+                                           RunConfig)
+from euler_tpu.models import encoders, gnn
+
+
+@pytest.fixture(scope="module")
+def sbm(tmp_path_factory):
+    from euler_tpu.datasets.synthetic import SBMDataset
+    d = tmp_path_factory.mktemp("sbm")
+    ds = SBMDataset(str(d), n_nodes=300, n_classes=3, feat_dim=8, seed=1)
+    graph = ds.load_graph()
+    return ds, graph
+
+
+def _node_model(ds, conv, flow):
+    feat = encoders.ShallowEncoder(dense_names=(ds.feature_idx,))
+    net = gnn.GNNNet(conv=conv, flow=flow, dims=(32, 32),
+                     feature=feat)
+    return gnn.SuperviseModel(embedder=net, label_name=ds.label_idx,
+                              label_dim=ds.label_dim)
+
+
+def test_gcn_whole_graph_learns_sbm(sbm, tmp_path):
+    ds, graph = sbm
+    et = graph.meta.edge_types.index("link")
+    model = _node_model(ds, "gcn", flows.WholeDataFlow(2, [(et,)]))
+    cfg = RunConfig(model_dir=str(tmp_path / "gcn"), batch_size=64,
+                    total_steps=120, learning_rate=0.02, log_steps=0,
+                    metric="f1")
+    est = NodeEstimator(model, graph, cfg,
+                        train_node_type=ds.train_node_type)
+    est.train()
+    res = est.evaluate(ds.test_ids)
+    assert res["f1"] > 0.85, res
+
+
+def test_sage_sampled_learns_sbm(sbm, tmp_path):
+    ds, graph = sbm
+    et = graph.meta.edge_types.index("link")
+    model = _node_model(
+        ds, "sage", flows.SageDataFlow([5, 5], [(et,), (et,)]))
+    cfg = RunConfig(model_dir=str(tmp_path / "sage"), batch_size=64,
+                    total_steps=150, learning_rate=0.02, log_steps=0)
+    est = NodeEstimator(model, graph, cfg,
+                        train_node_type=ds.train_node_type)
+    est.train()
+    res = est.evaluate(ds.test_ids)
+    assert res["f1"] > 0.85, res
+
+
+def test_infer_writes_embeddings(sbm, tmp_path):
+    ds, graph = sbm
+    et = graph.meta.edge_types.index("link")
+    model = _node_model(ds, "gcn", flows.WholeDataFlow(1, [(et,)]))
+    cfg = RunConfig(model_dir=str(tmp_path / "inf"), batch_size=64,
+                    total_steps=1, log_steps=0)
+    est = NodeEstimator(model, graph, cfg,
+                        train_node_type=ds.train_node_type)
+    ids = ds.test_ids[:50]
+    emb = est.infer(ids, out_dir=str(tmp_path / "emb"))
+    assert emb.shape == (len(ids), 32)
+    import os
+    assert os.path.exists(tmp_path / "emb" / "embedding_0.npy")
+
+
+def test_checkpoint_roundtrip(sbm, tmp_path):
+    ds, graph = sbm
+    et = graph.meta.edge_types.index("link")
+    model = _node_model(ds, "gcn", flows.WholeDataFlow(1, [(et,)]))
+    cfg = RunConfig(model_dir=str(tmp_path / "ck"), batch_size=32,
+                    total_steps=5, log_steps=0)
+    est = NodeEstimator(model, graph, cfg,
+                        train_node_type=ds.train_node_type)
+    est.train()
+    p1 = est.params
+    # fresh estimator restores from model_dir
+    est2 = NodeEstimator(model, graph, cfg,
+                         train_node_type=ds.train_node_type)
+    p2 = est2.params
+    l1 = jax.tree_util.tree_leaves(p1)
+    l2 = jax.tree_util.tree_leaves(p2)
+    assert all(np.allclose(a, b) for a, b in zip(l1, l2))
+
+
+def test_unsupervised_mrr_improves(sbm, tmp_path):
+    ds, graph = sbm
+    et = graph.meta.edge_types.index("link")
+    emb = gnn.EmbedOnly(max_id=ds.max_node_id, dim=16)
+    ctx = gnn.EmbedOnly(max_id=ds.max_node_id, dim=16)
+    model = gnn.UnsuperviseModel(embedder=emb, context_embedder=ctx,
+                                 edge_types=(et,), num_negs=8)
+    cfg = RunConfig(model_dir=str(tmp_path / "uns"), batch_size=128,
+                    total_steps=200, learning_rate=0.05, log_steps=0,
+                    metric="mrr")
+    est = NodeEstimator(model, graph, cfg, train_node_type=-1)
+    before = est.evaluate(np.arange(200))["mrr"]
+    est.train()
+    after = est.evaluate(np.arange(200))["mrr"]
+    assert after > before + 0.1, (before, after)
