@@ -61,6 +61,69 @@ def sbm_graph_json(n_nodes=400, n_classes=4, p_in=0.08, p_out=0.005,
     return {"nodes": nodes, "edges": edges}, comm, is_train
 
 
+def motif_graphs_json(n_graphs=60, min_nodes=6, max_nodes=12, seed=0):
+    """Graph-classification toy set: class 0 = cycle graphs, class 1 =
+    near-clique graphs (a mutag-role stand-in). Each node carries the
+    graph's id via the 'graph_label' binary feature (the reference's
+    convention, get_graph_by_label_op.cc) and the class via a 'label'
+    dense feature on every member node."""
+    rng = np.random.default_rng(seed)
+    nodes, edges = [], []
+    nid = 0
+    for gi in range(n_graphs):
+        cls = gi % 2
+        n = int(rng.integers(min_nodes, max_nodes + 1))
+        ids = list(range(nid, nid + n))
+        nid += n
+        for v in ids:
+            nodes.append({
+                "id": v, "type": "n", "weight": 1.0,
+                "features": [
+                    {"name": "feature", "type": "dense",
+                     "value": rng.normal(0, 1, 4).tolist()},
+                    {"name": "label", "type": "dense", "value": [float(cls)]},
+                    {"name": "graph_label", "type": "binary",
+                     "value": f"g{gi:05d}"},
+                ]})
+        pair_set = set()
+        if cls == 0:  # cycle
+            for i in range(n):
+                pair_set.add((ids[i], ids[(i + 1) % n]))
+        else:  # near-clique
+            for i in range(n):
+                for j in range(i + 1, n):
+                    if rng.random() < 0.8:
+                        pair_set.add((ids[i], ids[j]))
+        for s, d in pair_set:
+            edges.append({"src": s, "dst": d, "type": "l", "weight": 1.0})
+            edges.append({"src": d, "dst": s, "type": "l", "weight": 1.0})
+    return {"nodes": nodes, "edges": edges}
+
+
+class MotifDataset:
+    """Graph-classification dataset contract (mutag stand-in)."""
+
+    name = "motif"
+
+    def __init__(self, data_dir: str, n_graphs=60, seed=0):
+        self.data_dir = os.path.join(data_dir, f"motif_{n_graphs}")
+        self.n_graphs = n_graphs
+        self.seed = seed
+        self.num_classes = 2
+        self.label_idx = "label"
+        self.feature_idx = "feature"
+        self.feature_dim = 4
+        self.train_edge_type = ["l"]
+        self.all_edge_type = ["l"]
+
+    def load_graph(self) -> Graph:
+        if not os.path.exists(os.path.join(self.data_dir, "meta.json")):
+            convert_json_graph(motif_graphs_json(self.n_graphs,
+                                                 seed=self.seed),
+                               self.data_dir)
+        return load_graph(self.data_dir)
+
+
 class SBMDataset:
     """Dataset-contract wrapper over the SBM generator."""
 

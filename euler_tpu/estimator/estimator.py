@@ -25,7 +25,7 @@ import numpy as np
 import optax
 
 from euler_tpu.graph.store import Graph
-from euler_tpu.ops import sampling
+from euler_tpu.ops import feature_ops, sampling
 from euler_tpu.utils import metrics as metrics_lib
 
 
@@ -253,3 +253,70 @@ class EdgeEstimator(BaseEstimator):
         src, dst, ty, _ = sampling.sample_edge(
             g, key, self.config.batch_size, self.train_edge_type)
         return jnp.stack([src, dst, ty], axis=1)
+
+
+class GraphEstimator(BaseEstimator):
+    """Graph-classification loops: sample_graph_label ->
+    get_graph_by_label -> one-hot labels from the first member node's
+    ``label_name`` dense feature
+    (reference: euler_estimator/python/graph_estimator.py:32-77)."""
+
+    def __init__(self, model, graph, config, label_name="label",
+                 num_classes=2):
+        super().__init__(model, graph, config)
+        self.label_name = label_name
+        self.num_classes = num_classes
+
+    def _make_batch(self, g, graph_idx):
+        members, mask, node_graph_idx = sampling.get_graph_by_label(
+            g, graph_idx)
+        first = members[:, 0]
+        (lab,) = feature_ops.get_dense_feature(g, first, [self.label_name])
+        label = jax.nn.one_hot(lab[:, 0].astype(jnp.int32),
+                               self.num_classes)
+        label = jnp.where((graph_idx >= 0)[:, None], label, 0.0)
+        return dict(node_ids=members.reshape(-1),
+                    mask=mask.reshape(-1) & (graph_idx >= 0).repeat(
+                        members.shape[1]),
+                    node_graph_idx=node_graph_idx,
+                    label=label)
+
+    def train_batch(self, g, key):
+        gidx = sampling.sample_graph_label(g, key, self.config.batch_size)
+        return self._make_batch(g, gidx)
+
+    def evaluate(self, graph_ids) -> Dict[str, float]:
+        g = self.graph.tensors
+        model = self.model
+
+        @jax.jit
+        def eval_fn(params, gidx, key):
+            batch = self._make_batch(g, gidx)
+            return model.apply(params, g, batch, rngs={"sample": key})
+
+        ids = np.asarray(graph_ids, np.int32)
+        outs, n = self._batched_apply(ids, eval_fn)
+        logits = np.concatenate([np.asarray(o["logit"]) for o in outs])[:n]
+        labels = np.concatenate([np.asarray(o["label"]) for o in outs])[:n]
+        acc = metrics_lib.accuracy(jnp.asarray(labels), jnp.asarray(logits))
+        return {"accuracy": float(acc),
+                "loss": float(np.mean([float(o["loss"]) for o in outs]))}
+
+    def infer(self, graph_ids, out_dir=None, worker=0):
+        g = self.graph.tensors
+        model = self.model
+
+        @jax.jit
+        def embed_fn(params, gidx, key):
+            batch = self._make_batch(g, gidx)
+            out = model.apply(params, g, batch, rngs={"sample": key})
+            return out["embedding"]
+
+        ids = np.asarray(graph_ids, np.int32)
+        outs, n = self._batched_apply(ids, embed_fn)
+        emb = np.concatenate([np.asarray(o) for o in outs])[:n]
+        if out_dir:
+            os.makedirs(out_dir, exist_ok=True)
+            np.save(os.path.join(out_dir, f"embedding_{worker}.npy"), emb)
+            np.save(os.path.join(out_dir, f"ids_{worker}.npy"), ids)
+        return emb

@@ -72,6 +72,12 @@ class GraphTensors:
     dense_ef: Dict[str, jnp.ndarray]   # indexed by original edge row
     sparse_ef: Dict[str, Tuple[jnp.ndarray, jnp.ndarray]]
 
+    # graph-classification support: graphs defined by the 'graph_label'
+    # binary node feature (reference: API_GET_GRAPH_BY_LABEL,
+    # euler/core/kernels/get_graph_by_label_op.cc)
+    graph_members: Optional[jnp.ndarray] = None       # int32 [G, maxN] (-1 pad)
+    graph_member_cnt: Optional[jnp.ndarray] = None    # int32 [G]
+
     # optional in-adjacency (reference: node.h in-neighbor variants)
     in_group_ptr: Optional[jnp.ndarray] = None
     in_adj_src: Optional[jnp.ndarray] = None   # the *neighbor* (true src)
@@ -176,6 +182,25 @@ class Graph:
                 in_adj_w_cumsum=i_cum, in_adj_eid=i_eid,
                 in_group_w_sum=igws.astype(np.float32).reshape(n, net))
 
+        # graph-label membership (host binary feature -> padded device table)
+        graph_fields = {}
+        self.graph_labels = None
+        if "graph_label" in self.binary_nf:
+            vals = self.binary_nf["graph_label"]
+            uniq = sorted({v for v in vals if v != ""})
+            self.graph_labels = uniq
+            members = [np.nonzero(vals == u)[0].astype(np.int32)
+                       for u in uniq]
+            if members:
+                maxn = max(len(m) for m in members)
+                tab = np.full((len(uniq), maxn), -1, np.int32)
+                for i, m in enumerate(members):
+                    tab[i, : len(m)] = m
+                graph_fields = dict(
+                    graph_members=tab,
+                    graph_member_cnt=np.asarray([len(m) for m in members],
+                                                np.int32))
+
         put = jnp.asarray if device_put else (lambda x: x)
 
         def put_alias(t):
@@ -202,6 +227,7 @@ class Graph:
             sparse_nf={k: (put(v[0]), put(v[1])) for k, v in sparse_nf.items()},
             dense_ef={k: put(v) for k, v in dense_ef.items()},
             sparse_ef={k: (put(v[0]), put(v[1])) for k, v in sparse_ef.items()},
+            **{k: put(v) for k, v in graph_fields.items()},
             **{k: put(v) for k, v in in_fields.items()},
         )
 

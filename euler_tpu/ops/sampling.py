@@ -275,6 +275,29 @@ def get_multi_hop_neighbor(g: GraphTensors, key, nodes: Array,
     return out
 
 
+def sample_graph_label(g: GraphTensors, key, count: int) -> Array:
+    """Uniformly sample graph indices (graph-classification batches).
+
+    reference: API_SAMPLE_GRAPH_LABEL
+    (euler/core/kernels/sample_graph_label_op.cc)."""
+    G = g.graph_members.shape[0]
+    return jax.random.randint(key, (count,), 0, G, dtype=jnp.int32)
+
+
+def get_graph_by_label(g: GraphTensors, graph_idx: Array):
+    """Nodes of each graph as a padded block + flattened graph index.
+
+    reference: API_GET_GRAPH_BY_LABEL (get_graph_by_label_op.cc) returning
+    SparseTensor graph->nodes; here (node_ids [B,maxN], mask [B,maxN],
+    node_graph_idx [B*maxN]).
+    """
+    members = g.graph_members[graph_idx]          # [B, maxN]
+    mask = members >= 0
+    B, maxN = members.shape
+    node_graph_idx = jnp.repeat(jnp.arange(B, dtype=jnp.int32), maxN)
+    return members, mask, node_graph_idx
+
+
 def get_node_type(g: GraphTensors, nodes: Array) -> Array:
     """reference: API_GET_NODE_T (type_ops.py)."""
     nodes = jnp.asarray(nodes, jnp.int32)
