@@ -161,7 +161,8 @@ class BaseEstimator:
         B = cfg.batch_size
         n = len(ids)
         pad = (-n) % B
-        padded = np.concatenate([ids, np.full(pad, -1, ids.dtype)])
+        pad_block = np.full((pad,) + ids.shape[1:], -1, ids.dtype)
+        padded = np.concatenate([ids, pad_block])
         outs = []
         key = jax.random.PRNGKey(cfg.seed + 2)
         for i in range(0, len(padded), B):
@@ -181,6 +182,14 @@ class BaseEstimator:
             return out
 
         ids = np.asarray(ids, np.int32)
+        if ids.ndim == 1 and isinstance(self, EdgeEstimator):
+            # node ids make no sense for edge models: evaluate on sampled
+            # edges instead (reference evaluates from triple id files)
+            src, dst, ty, _ = sampling.sample_edge(
+                g, jax.random.PRNGKey(self.config.seed + 3), len(ids),
+                self.train_edge_type)
+            ids = np.stack([np.asarray(src), np.asarray(dst),
+                            np.asarray(ty)], axis=1)
         outs, n = self._batched_apply(ids, eval_fn)
         # supervised: f1/acc from logits+labels; unsupervised: mrr
         if "logit" in outs[0]:

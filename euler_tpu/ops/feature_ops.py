@@ -34,6 +34,9 @@ def get_dense_feature(g: GraphTensors, nodes: Array,
                       names: Sequence[str]) -> List[Array]:
     """Dense (float) node features; [*, dim] per name.
     reference: tf_euler.get_dense_feature (feature_ops.py:126)."""
+    if hasattr(g, "axis") and hasattr(g, "shard_node_w"):
+        from euler_tpu.parallel import sharded
+        return sharded.get_dense_feature_sharded(g, nodes, names)
     return [_take_rows(g.dense_nf[n], nodes, 0.0) for n in names]
 
 
@@ -41,6 +44,9 @@ def get_sparse_feature(g: GraphTensors, nodes: Array, names: Sequence[str]
                        ) -> List[Tuple[Array, Array]]:
     """Sparse (id-list) node features as (ids [*, L] padded -1, mask).
     reference: tf_euler.get_sparse_feature (feature_ops.py:57)."""
+    if hasattr(g, "axis") and hasattr(g, "shard_node_w"):
+        from euler_tpu.parallel import sharded
+        return sharded.get_sparse_feature_sharded(g, nodes, names)
     out = []
     for n in names:
         vals, _ = g.sparse_nf[n]

@@ -29,7 +29,15 @@ from euler_tpu.ops.alias import alias_draw
 Array = jnp.ndarray
 
 
-def _as_etypes(g: GraphTensors, edge_types) -> Tuple[int, ...]:
+def _is_shard_view(g) -> bool:
+    """True when running inside shard_map on a graph-sharded store
+    (euler_tpu.parallel.sharded.ShardView); ops then route through the
+    psum-combining SPMD implementations so the whole model stack runs
+    unchanged under a mesh."""
+    return hasattr(g, "axis") and hasattr(g, "shard_node_w")
+
+
+def _as_etypes(g, edge_types) -> Tuple[int, ...]:
     if isinstance(edge_types, (int, str)):
         edge_types = (edge_types,)
     return tuple(g.meta.edge_type_id(t) for t in edge_types)
@@ -46,6 +54,9 @@ def sample_node(g: GraphTensors, key, count: int, node_type=-1) -> Array:
     per-type alias tables (graph.h:133). ``node_type=-1`` samples across all
     types proportionally to per-type weight sums.
     """
+    if _is_shard_view(g):
+        from euler_tpu.parallel import sharded
+        return sharded.sample_node_sharded(g, key, count, node_type)
     na = g.node_alias
     if isinstance(node_type, str):
         node_type = g.meta.node_type_id(node_type)
@@ -83,6 +94,9 @@ def sample_edge(g: GraphTensors, key, count: int, edge_type=-1):
     """Weighted global edge sampling; returns (src, dst, etype, eid).
 
     reference: API_SAMPLE_EDGE (euler/core/kernels/sample_edge_op.cc)."""
+    if _is_shard_view(g):
+        from euler_tpu.parallel import sharded
+        return sharded.sample_edge_sharded(g, key, count, edge_type)
     ea = g.edge_alias
     if isinstance(edge_type, str):
         edge_type = g.meta.edge_type_id(edge_type)
@@ -150,6 +164,10 @@ def sample_neighbor(g: GraphTensors, key, nodes: Array, edge_types,
     ``default_id`` with weight 0 / type -1 / eid -1.
     """
     ets = _as_etypes(g, edge_types)
+    if _is_shard_view(g):
+        from euler_tpu.parallel import sharded
+        return sharded.sample_neighbor_sharded(g, key, nodes, ets, count,
+                                               default_id)
     nodes = jnp.asarray(nodes, jnp.int32)
     B = nodes.shape[0]
     rows = jnp.maximum(nodes, 0)
@@ -300,5 +318,8 @@ def get_graph_by_label(g: GraphTensors, graph_idx: Array):
 
 def get_node_type(g: GraphTensors, nodes: Array) -> Array:
     """reference: API_GET_NODE_T (type_ops.py)."""
+    if _is_shard_view(g):
+        from euler_tpu.parallel import sharded
+        return sharded.get_node_type_sharded(g, nodes)
     nodes = jnp.asarray(nodes, jnp.int32)
     return jnp.where(nodes >= 0, g.node_type[jnp.maximum(nodes, 0)], -1)

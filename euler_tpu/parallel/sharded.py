@@ -1,0 +1,491 @@
+"""Graph-sharded storage + SPMD sampling collectives.
+
+TPU-native counterpart of the reference's distributed graph service
+(reference: shard routing ``(id % partition_number) % shard_num``
+id_split_op.cc:46-48, per-shard gRPC servers grpc_server.cc, client
+scatter/gather with split/REMOTE/merge DAG rewriting optimizer.h:49-86 +
+remote_op.cc:60-146, proportional cross-shard root sampling
+query_proxy.cc:93-145).
+
+Design inversion: a single SPMD program over a ``Mesh(('data','graph'))``.
+Node ``v`` lives on shard ``v % S`` at local row ``v // S``. Every verb
+computes locally for the roots a shard owns and combines with one
+``psum`` over the 'graph' axis (each root has exactly one owner, so the
+masked sum IS the order-restoring merge — the reference's *_MERGE kernels
+collapse into one collective). Results ride ICI; no serialization layer
+exists (SURVEY.md §2.5).
+
+Two layers:
+  * ``ShardedGraphTensors`` — host-built, stacked per-shard arrays with
+    leading dim S, placed with PartitionSpec('graph').
+  * ``ShardView`` — what one device sees inside ``shard_map``; the ops in
+    euler_tpu.ops dispatch to the sharded implementations below when
+    handed a ShardView, so the whole model stack (flows, encoders, nets)
+    runs unchanged under shard_map.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from euler_tpu.graph import convert as _convert
+from euler_tpu.graph.meta import DENSE, SPARSE, GraphMeta
+from euler_tpu.graph.store import AliasTables, Graph
+from euler_tpu.ops.alias import alias_draw, build_typed_alias_tables
+
+Array = jnp.ndarray
+
+
+@struct.dataclass
+class ShardedGraphTensors:
+    """Stacked per-shard graph arrays; leading dim = shard."""
+
+    meta: GraphMeta = struct.field(pytree_node=False)
+    num_shards: int = struct.field(pytree_node=False)
+
+    node_type: Array        # [S, n_max]
+    node_w: Array           # [S, n_max]
+    group_ptr: Array        # [S, n_max*ET+1]
+    adj_dst: Array          # [S, e_max]  GLOBAL neighbor ids (-1 pad)
+    adj_type: Array         # [S, e_max]
+    adj_w: Array            # [S, e_max]
+    adj_w_cumsum: Array     # [S, e_max]
+    adj_eid: Array          # [S, e_max]  GLOBAL edge rows
+    group_w_sum: Array      # [S, n_max, ET]
+
+    node_alias: AliasTables     # per-shard stacked ([S, n_max] etc.)
+    edge_alias: AliasTables     # per-shard stacked over local CSR slots
+
+    dense_nf: Dict[str, Array]              # [S, n_max, d]
+    sparse_nf: Dict[str, Tuple[Array, Array]]
+    dense_ef: Dict[str, Array]              # [S, e_max, d] (local edge rows)
+    sparse_ef: Dict[str, Tuple[Array, Array]]
+
+    # replicated (same on every shard): per-shard per-type weight sums for
+    # proportional root sampling (query_proxy.cc:93-145)
+    shard_node_w: Array     # [S, NT]
+    shard_edge_w: Array     # [S, ET]
+
+
+@struct.dataclass
+class ShardView:
+    """One shard's local view + collective context (inside shard_map)."""
+
+    meta: GraphMeta = struct.field(pytree_node=False)
+    axis: str = struct.field(pytree_node=False)
+    num_shards: int = struct.field(pytree_node=False)
+
+    node_type: Array
+    node_w: Array
+    group_ptr: Array
+    adj_dst: Array
+    adj_type: Array
+    adj_w: Array
+    adj_w_cumsum: Array
+    adj_eid: Array
+    group_w_sum: Array
+    node_alias: AliasTables
+    edge_alias: AliasTables
+    dense_nf: Dict[str, Array]
+    sparse_nf: Dict[str, Tuple[Array, Array]]
+    dense_ef: Dict[str, Array]
+    sparse_ef: Dict[str, Tuple[Array, Array]]
+    shard_node_w: Array
+    shard_edge_w: Array
+
+    @property
+    def my_shard(self):
+        return jax.lax.axis_index(self.axis)
+
+
+def build_sharded(graph: Graph, num_shards: int) -> ShardedGraphTensors:
+    """Partition a loaded Graph into stacked per-shard arrays (host)."""
+    meta = graph.meta
+    S, N, ET, NT = num_shards, meta.n_nodes, meta.num_edge_types, \
+        meta.num_node_types
+    g = graph.tensors
+    n_max = -(-N // S)
+
+    node_type = np.asarray(g.node_type)
+    node_w = np.asarray(g.node_w)
+    adj_src = np.asarray(g.adj_src)
+    adj_dst = np.asarray(g.adj_dst)
+    adj_type = np.asarray(g.adj_type)
+    adj_w = np.asarray(g.adj_w)
+    adj_eid = np.asarray(g.adj_eid)
+
+    per = {k: [] for k in
+           ("node_type", "node_w", "group_ptr", "adj_dst", "adj_type",
+            "adj_w", "adj_w_cumsum", "adj_eid", "group_w_sum")}
+    alias_n, alias_e = [], []
+    dense_nf = {k: [] for k in g.dense_nf}
+    sparse_nf = {k: [] for k in g.sparse_nf}
+    dense_ef = {k: [] for k in g.dense_ef}
+    sparse_ef = {k: [] for k in g.sparse_ef}
+    shard_node_w = np.zeros((S, NT), np.float32)
+    shard_edge_w = np.zeros((S, ET), np.float32)
+
+    e_max = 0
+    shards = []
+    for s in range(S):
+        own = np.where(np.arange(N) % S == s)[0]
+        esel = np.isin(adj_src, own)
+        # local rows: global id -> id // S; build local CSR over own nodes
+        lsrc = adj_src[esel] // S
+        (gp, col, w, cw, eid, perm) = _convert.build_csr(
+            len(own), ET, lsrc.astype(np.int32),
+            adj_dst[esel], adj_type[esel], adj_w[esel], adj_eid[esel])
+        # note: build_csr re-sorts; col stays GLOBAL ids
+        n_local = len(own)
+        # pad group_ptr up to n_max*ET+1
+        gp_full = np.full(n_max * ET + 1, gp[-1] if len(gp) else 0,
+                          gp.dtype if len(gp) else np.int32)
+        gp_full[: len(gp)] = gp
+        ety = adj_type[esel][perm]
+        seg = np.repeat(np.arange(len(gp_full) - 1), np.diff(gp_full))
+        gws = np.zeros(n_max * ET, np.float64)
+        np.add.at(gws, seg, w.astype(np.float64))
+        shards.append(dict(own=own, gp=gp_full, col=col, w=w, cw=cw,
+                           eid=eid, ety=ety, gws=gws, esel=esel, perm=perm))
+        e_max = max(e_max, len(col))
+        shard_node_w[s] = np.bincount(node_type[own], node_w[own],
+                                      minlength=NT)
+        shard_edge_w[s] = np.bincount(ety, w, minlength=ET)
+
+    e_max = max(e_max, 1)
+    for s in range(S):
+        sh = shards[s]
+        own, col = sh["own"], sh["col"]
+        n_local, m_local = len(own), len(col)
+
+        def padn(a, fill=0, dtype=None):
+            out = np.full((n_max,) + a.shape[1:], fill,
+                          dtype or a.dtype)
+            out[:n_local] = a
+            return out
+
+        def pade(a, fill=0, dtype=None):
+            out = np.full((e_max,) + a.shape[1:], fill, dtype or a.dtype)
+            out[:m_local] = a
+            return out
+
+        per["node_type"].append(padn(node_type[own], -1))
+        per["node_w"].append(padn(node_w[own]))
+        per["group_ptr"].append(sh["gp"].astype(np.int32))
+        per["adj_dst"].append(pade(col, -1))
+        per["adj_type"].append(pade(sh["ety"], -1))
+        per["adj_w"].append(pade(sh["w"]))
+        cw = sh["cw"]
+        last = cw[-1] if len(cw) else 0.0
+        per["adj_w_cumsum"].append(pade(cw, last))
+        per["adj_eid"].append(pade(sh["eid"], -1))
+        per["group_w_sum"].append(
+            sh["gws"].astype(np.float32).reshape(n_max, ET))
+
+        na = build_typed_alias_tables(
+            np.concatenate([node_type[own],
+                            np.full(n_max - n_local, NT, np.int32)]),
+            np.concatenate([node_w[own], np.zeros(n_max - n_local)]),
+            NT)
+        alias_n.append(na)
+        ea = build_typed_alias_tables(
+            np.concatenate([sh["ety"], np.full(e_max - m_local, ET,
+                                               np.int32)]),
+            np.concatenate([sh["w"], np.zeros(e_max - m_local)]), ET)
+        alias_e.append(ea)
+
+        for k, v in g.dense_nf.items():
+            dense_nf[k].append(padn(np.asarray(v)[own]))
+        for k, (ids, ln) in g.sparse_nf.items():
+            sparse_nf[k].append((padn(np.asarray(ids)[own], -1),
+                                 padn(np.asarray(ln)[own])))
+        # edge features in LOCAL CSR slot order
+        orig_rows = sh["eid"]
+        for k, v in g.dense_ef.items():
+            dense_ef[k].append(pade(np.asarray(v)[orig_rows]))
+        for k, (ids, ln) in g.sparse_ef.items():
+            sparse_ef[k].append((pade(np.asarray(ids)[orig_rows], -1),
+                                 pade(np.asarray(ln)[orig_rows])))
+
+    def stack(xs):
+        return jnp.asarray(np.stack(xs))
+
+    def stack_alias(tabs):
+        return AliasTables(
+            ids=stack([t["ids"] for t in tabs]),
+            type_ptr=stack([t["type_ptr"].astype(np.int32) for t in tabs]),
+            prob=stack([t["prob"] for t in tabs]),
+            alias=stack([t["alias"] for t in tabs]),
+            w_sum=stack([t["w_sum"] for t in tabs]))
+
+    return ShardedGraphTensors(
+        meta=meta, num_shards=S,
+        node_type=stack(per["node_type"]),
+        node_w=stack(per["node_w"]),
+        group_ptr=stack(per["group_ptr"]),
+        adj_dst=stack(per["adj_dst"]),
+        adj_type=stack(per["adj_type"]),
+        adj_w=stack(per["adj_w"]),
+        adj_w_cumsum=stack(per["adj_w_cumsum"]),
+        adj_eid=stack(per["adj_eid"]),
+        group_w_sum=stack(per["group_w_sum"]),
+        node_alias=stack_alias(alias_n),
+        edge_alias=stack_alias(alias_e),
+        dense_nf={k: stack(v) for k, v in dense_nf.items()},
+        sparse_nf={k: (stack([a for a, _ in v]), stack([b for _, b in v]))
+                   for k, v in sparse_nf.items()},
+        dense_ef={k: stack(v) for k, v in dense_ef.items()},
+        sparse_ef={k: (stack([a for a, _ in v]), stack([b for _, b in v]))
+                   for k, v in sparse_ef.items()},
+        shard_node_w=jnp.asarray(shard_node_w),
+        shard_edge_w=jnp.asarray(shard_edge_w),
+    )
+
+
+def shard_specs(sg: ShardedGraphTensors):
+    """PartitionSpecs: per-shard arrays split over 'graph'; the per-shard
+    weight-sum tables are replicated (they drive proportional root
+    sampling on every device, query_proxy.cc:93-145)."""
+    specs = jax.tree_util.tree_map(lambda _: P("graph"), sg)
+    return specs.replace(shard_node_w=P(), shard_edge_w=P())
+
+
+def to_view(sg_block: "ShardedGraphTensors", axis: str) -> ShardView:
+    """Strip the (local) leading shard dim inside shard_map."""
+    sq = lambda a: a[0]
+    return ShardView(
+        meta=sg_block.meta, axis=axis, num_shards=sg_block.num_shards,
+        node_type=sq(sg_block.node_type), node_w=sq(sg_block.node_w),
+        group_ptr=sq(sg_block.group_ptr), adj_dst=sq(sg_block.adj_dst),
+        adj_type=sq(sg_block.adj_type), adj_w=sq(sg_block.adj_w),
+        adj_w_cumsum=sq(sg_block.adj_w_cumsum),
+        adj_eid=sq(sg_block.adj_eid), group_w_sum=sq(sg_block.group_w_sum),
+        node_alias=AliasTables(*[sq(x) for x in (
+            sg_block.node_alias.ids, sg_block.node_alias.type_ptr,
+            sg_block.node_alias.prob, sg_block.node_alias.alias,
+            sg_block.node_alias.w_sum)]),
+        edge_alias=AliasTables(*[sq(x) for x in (
+            sg_block.edge_alias.ids, sg_block.edge_alias.type_ptr,
+            sg_block.edge_alias.prob, sg_block.edge_alias.alias,
+            sg_block.edge_alias.w_sum)]),
+        dense_nf={k: sq(v) for k, v in sg_block.dense_nf.items()},
+        sparse_nf={k: (sq(a), sq(b))
+                   for k, (a, b) in sg_block.sparse_nf.items()},
+        dense_ef={k: sq(v) for k, v in sg_block.dense_ef.items()},
+        sparse_ef={k: (sq(a), sq(b))
+                   for k, (a, b) in sg_block.sparse_ef.items()},
+        # replicated tables keep their full [S, ...] shape
+        shard_node_w=sg_block.shard_node_w,
+        shard_edge_w=sg_block.shard_edge_w,
+    )
+
+
+# ---------------------------------------------------------------------------
+# sharded op implementations (called from euler_tpu.ops dispatch)
+# ---------------------------------------------------------------------------
+
+def _psum(x, axis):
+    return jax.lax.psum(x, axis)
+
+
+def _spread(view: ShardView, nodes: Array):
+    """all_gather the group's query ids: every shard must see every root to
+    answer for the ones it owns (the ID_SPLIT fan-out of the reference,
+    id_split_op.cc, as one collective). Returns [S*b, ...]."""
+    g = jax.lax.all_gather(nodes, view.axis, axis=0)
+    return g.reshape((-1,) + nodes.shape[1:])
+
+
+def _take_mine(view: ShardView, res: Array, b: int):
+    """Slice this device's chunk back out after the psum merge."""
+    start = view.my_shard * b
+    return jax.lax.dynamic_slice_in_dim(res, start, b, axis=0)
+
+
+def _combine_ids(owned, local_ids, axis, default=-1):
+    """Merge per-shard id results (exactly one owner per slot)."""
+    return _psum(jnp.where(owned, local_ids - default, 0), axis) + default
+
+
+def _combine(owned, vals, axis):
+    return _psum(jnp.where(owned, vals, 0), axis)
+
+
+def _own_rows(view: ShardView, nodes: Array):
+    S = view.num_shards
+    owned = (nodes >= 0) & (nodes % S == view.my_shard)
+    rows = jnp.clip(nodes // S, 0, view.node_type.shape[0] - 1)
+    return owned, rows
+
+
+def _group_bounds_local(view: ShardView, rows, etype):
+    ET = view.meta.num_edge_types
+    gidx = rows * ET + etype
+    return view.group_ptr[gidx], view.group_ptr[gidx + 1]
+
+
+def sample_neighbor_sharded(view: ShardView, key, nodes, ets, count,
+                            default_id=-1):
+    nodes = jnp.asarray(nodes, jnp.int32)
+    b = nodes.shape[0]
+    nodes = _spread(view, nodes)
+    B = nodes.shape[0]
+    owned, rows = _own_rows(view, nodes)
+    kt, kd = jax.random.split(key)
+
+    et_arr = jnp.asarray(ets, jnp.int32)
+    W = view.group_w_sum[rows][:, et_arr]
+    cdf = jnp.cumsum(W, axis=1)
+    total = cdf[:, -1]
+    r = jax.random.uniform(kt, (B, count)) * total[:, None]
+    t_idx = jnp.sum(r[:, :, None] >= cdf[:, None, :], axis=-1)
+    t_idx = jnp.minimum(t_idx, len(ets) - 1)
+    etype = et_arr[t_idx]
+
+    lo, hi = _group_bounds_local(view, rows[:, None], etype)
+    w_lo = jnp.where(lo > 0, view.adj_w_cumsum[jnp.maximum(lo - 1, 0)], 0.0)
+    w_hi = jnp.where(hi > 0, view.adj_w_cumsum[jnp.maximum(hi - 1, 0)], 0.0)
+    u = jax.random.uniform(kd, (B, count))
+    target = w_lo + u * (w_hi - w_lo)
+    slot = jnp.searchsorted(view.adj_w_cumsum, target, side="left")
+    slot = jnp.clip(slot, lo, jnp.maximum(hi - 1, 0)).astype(jnp.int32)
+    ok = owned[:, None] & (hi > lo) & (total > 0)[:, None]
+    s = jnp.clip(slot, 0, view.adj_dst.shape[0] - 1)
+    nbr = jnp.where(ok, view.adj_dst[s], default_id)
+    w = jnp.where(ok, view.adj_w[s], 0.0)
+    ty = jnp.where(ok, view.adj_type[s], -1)
+    eid = jnp.where(ok, view.adj_eid[s], -1)
+
+    ax = view.axis
+    own_any = owned[:, None]
+    nbr = _take_mine(view, _combine_ids(own_any, nbr, ax, default_id), b)
+    w = _take_mine(view, _combine(own_any, w, ax), b)
+    ty = _take_mine(view, _combine_ids(own_any, ty, ax, -1), b)
+    eid = _take_mine(view, _combine_ids(own_any, eid, ax, -1), b)
+    return nbr, w, ty, eid
+
+
+def get_dense_feature_sharded(view: ShardView, nodes, names):
+    nodes = jnp.asarray(nodes, jnp.int32)
+    shape_in = nodes.shape
+    flat_in = nodes.reshape(-1)
+    b = flat_in.shape[0]
+    flat_all = _spread(view, flat_in)
+    owned, rows = _own_rows(view, flat_all)
+    out = []
+    for n in names:
+        tab = view.dense_nf[n]
+        v = jnp.where(owned[:, None], tab[rows], 0.0)
+        v = _take_mine(view, _psum(v, view.axis), b)
+        out.append(v.reshape(shape_in + (tab.shape[-1],)))
+    return out
+
+
+def get_sparse_feature_sharded(view: ShardView, nodes, names):
+    nodes = jnp.asarray(nodes, jnp.int32)
+    shape_in = nodes.shape
+    flat_in = nodes.reshape(-1)
+    b = flat_in.shape[0]
+    flat_all = _spread(view, flat_in)
+    owned, rows = _own_rows(view, flat_all)
+    out = []
+    for n in names:
+        tab, _ = view.sparse_nf[n]
+        ids = jnp.where(owned[:, None], tab[rows] + 1, 0)
+        ids = _take_mine(view, _psum(ids, view.axis), b) - 1
+        ids = ids.reshape(shape_in + (tab.shape[-1],))
+        out.append((ids, ids >= 0))
+    return out
+
+
+def get_node_type_sharded(view: ShardView, nodes):
+    nodes = jnp.asarray(nodes, jnp.int32)
+    shape_in = nodes.shape
+    flat_in = nodes.reshape(-1)
+    b = flat_in.shape[0]
+    flat_all = _spread(view, flat_in)
+    owned, rows = _own_rows(view, flat_all)
+    ty = jnp.where(owned, view.node_type[rows] + 1, 0)
+    return (_take_mine(view, _psum(ty, view.axis), b) - 1).reshape(shape_in)
+
+
+def sample_node_sharded(view: ShardView, key, count, node_type=-1):
+    """Proportional cross-shard root sampling
+    (reference: query_proxy.cc:93-145)."""
+    S = view.num_shards
+    NT = view.meta.num_node_types
+    if isinstance(node_type, str):
+        node_type = view.meta.node_type_id(node_type)
+    kt, ks, kd = jax.random.split(key, 3)
+    if node_type == -1:
+        w_type = view.shard_node_w.sum(axis=0)          # [NT] replicated
+        cdf_t = jnp.cumsum(w_type)
+        rt = jax.random.uniform(kt, (count,)) * cdf_t[-1]
+        t = jnp.minimum(jnp.searchsorted(cdf_t, rt, side="right"),
+                        NT - 1).astype(jnp.int32)
+    else:
+        t = jnp.full((count,), node_type, jnp.int32)
+    w_shard = view.shard_node_w[:, t].T                 # [count, S]
+    cdf_s = jnp.cumsum(w_shard, axis=1)
+    rs = jax.random.uniform(ks, (count,)) * cdf_s[:, -1]
+    shard_choice = jnp.sum(rs[:, None] >= cdf_s, axis=1)
+    shard_choice = jnp.minimum(shard_choice, S - 1).astype(jnp.int32)
+
+    # every shard draws with a shard-folded key; the chosen shard's draw wins
+    na = view.node_alias
+    kd = jax.random.fold_in(kd, view.my_shard)
+    lo = na.type_ptr[t]
+    size = na.type_ptr[t + 1] - lo
+    pos = alias_draw(kd, na.prob, na.alias, lo, size, (count,))
+    local = jnp.where(pos >= 0, na.ids[jnp.maximum(pos, 0)], -1)
+    global_id = jnp.where(local >= 0,
+                          local * S + view.my_shard, -1)
+    mine = shard_choice == view.my_shard
+    return _combine_ids(mine, global_id, view.axis, -1)
+
+
+def sample_edge_sharded(view: ShardView, key, count, edge_type=-1):
+    S = view.num_shards
+    ET = view.meta.num_edge_types
+    if isinstance(edge_type, str):
+        edge_type = view.meta.edge_type_id(edge_type)
+    kt, ks, kd = jax.random.split(key, 3)
+    if edge_type == -1:
+        w_type = view.shard_edge_w.sum(axis=0)
+        cdf_t = jnp.cumsum(w_type)
+        rt = jax.random.uniform(kt, (count,)) * cdf_t[-1]
+        t = jnp.minimum(jnp.searchsorted(cdf_t, rt, side="right"),
+                        ET - 1).astype(jnp.int32)
+    else:
+        t = jnp.full((count,), edge_type, jnp.int32)
+    w_shard = view.shard_edge_w[:, t].T
+    cdf_s = jnp.cumsum(w_shard, axis=1)
+    rs = jax.random.uniform(ks, (count,)) * cdf_s[:, -1]
+    shard_choice = jnp.minimum(jnp.sum(rs[:, None] >= cdf_s, axis=1),
+                               S - 1).astype(jnp.int32)
+
+    ea = view.edge_alias
+    kd = jax.random.fold_in(kd, view.my_shard)
+    lo = ea.type_ptr[t]
+    size = ea.type_ptr[t + 1] - lo
+    pos = alias_draw(kd, ea.prob, ea.alias, lo, size, (count,))
+    slot = jnp.where(pos >= 0, ea.ids[jnp.maximum(pos, 0)], -1)
+    sl = jnp.clip(slot, 0, view.adj_dst.shape[0] - 1)
+    # recover global src: local row = group index // ET
+    n_max = view.node_type.shape[0]
+    row = jnp.searchsorted(view.group_ptr, sl, side="right") - 1
+    src_local = row // ET
+    src = jnp.where(slot >= 0, src_local * S + view.my_shard, -1)
+    dst = jnp.where(slot >= 0, view.adj_dst[sl], -1)
+    ty = jnp.where(slot >= 0, view.adj_type[sl], -1)
+    eid = jnp.where(slot >= 0, view.adj_eid[sl], -1)
+    mine = shard_choice == view.my_shard
+    ax = view.axis
+    return (_combine_ids(mine, src, ax, -1), _combine_ids(mine, dst, ax, -1),
+            _combine_ids(mine, ty, ax, -1), _combine_ids(mine, eid, ax, -1))
