@@ -36,6 +36,16 @@ from euler_tpu.graph.meta import BINARY, DENSE, SPARSE, GraphMeta
 from euler_tpu.ops.alias import build_typed_alias_tables
 
 
+def string_hash32(s: str) -> int:
+    """Deterministic FNV-1a 32-bit string hash (host + trace time).
+    Plays the role of the reference's exported py_hash64
+    (euler/common/hash.cc) for device-side string equality."""
+    h = 2166136261
+    for b in s.encode("utf-8"):
+        h = ((h ^ b) * 16777619) & 0xFFFFFFFF
+    return h - 2**32 if h >= 2**31 else h
+
+
 @struct.dataclass
 class AliasTables:
     ids: jnp.ndarray       # int32 [n] population sorted by type
@@ -71,6 +81,12 @@ class GraphTensors:
     sparse_nf: Dict[str, Tuple[jnp.ndarray, jnp.ndarray]]  # (ids, len)
     dense_ef: Dict[str, jnp.ndarray]   # indexed by original edge row
     sparse_ef: Dict[str, Tuple[jnp.ndarray, jnp.ndarray]]
+
+    # int32 hash codes of binary (string) features so equality predicates
+    # run on device (the reference's HashSampleIndex role,
+    # euler/core/index/hash_sample_index.h:41)
+    binary_hash_nf: Dict[str, jnp.ndarray] = struct.field(
+        default_factory=dict)
 
     # graph-classification support: graphs defined by the 'graph_label'
     # binary node feature (reference: API_GET_GRAPH_BY_LABEL,
@@ -182,6 +198,10 @@ class Graph:
                 in_adj_w_cumsum=i_cum, in_adj_eid=i_eid,
                 in_group_w_sum=igws.astype(np.float32).reshape(n, net))
 
+        binary_hash = {
+            name: np.asarray([string_hash32(v) for v in vals], np.int32)
+            for name, vals in self.binary_nf.items()}
+
         # graph-label membership (host binary feature -> padded device table)
         graph_fields = {}
         self.graph_labels = None
@@ -227,6 +247,7 @@ class Graph:
             sparse_nf={k: (put(v[0]), put(v[1])) for k, v in sparse_nf.items()},
             dense_ef={k: put(v) for k, v in dense_ef.items()},
             sparse_ef={k: (put(v[0]), put(v[1])) for k, v in sparse_ef.items()},
+            binary_hash_nf={k: put(v) for k, v in binary_hash.items()},
             **{k: put(v) for k, v in graph_fields.items()},
             **{k: put(v) for k, v in in_fields.items()},
         )
