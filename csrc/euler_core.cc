@@ -1,0 +1,159 @@
+// euler_tpu native core: multithreaded graph loading primitives.
+//
+// TPU-native counterpart of the reference's C++ graph build path
+// (reference: euler/core/graph/graph_builder.cc:57-157 — 8-thread
+// partition load into edge-type-grouped neighbor arrays with prefix-sum
+// weights — and euler/common/alias_method.cc AliasMethod::Init).
+//
+// The device consumes flat arrays (see euler_tpu/graph/convert.py); this
+// library produces them at native speed for multi-hundred-million-edge
+// graphs: a parallel counting-sort CSR build over (src, etype) groups with
+// per-group dst ordering, weight prefix sums, group weight sums, and O(n)
+// alias-table construction. Exposed with a plain C ABI for ctypes.
+//
+// Build: cc -O3 -shared -fPIC -pthread csrc/euler_core.cc -o
+//        euler_tpu/native/libeuler_core.so
+#include <algorithm>
+#include <atomic>
+#include <cstdint>
+#include <cmath>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+namespace {
+
+int hardware_threads() {
+  unsigned n = std::thread::hardware_concurrency();
+  return n ? static_cast<int>(n) : 8;
+}
+
+template <typename F>
+void parallel_for(int64_t n, F fn) {
+  int nt = std::min<int64_t>(hardware_threads(), std::max<int64_t>(n, 1));
+  if (n < (1 << 15) || nt <= 1) {
+    fn(0, n);
+    return;
+  }
+  std::vector<std::thread> ts;
+  int64_t chunk = (n + nt - 1) / nt;
+  for (int t = 0; t < nt; ++t) {
+    int64_t lo = t * chunk, hi = std::min<int64_t>(n, lo + chunk);
+    if (lo >= hi) break;
+    ts.emplace_back([=] { fn(lo, hi); });
+  }
+  for (auto& t : ts) t.join();
+}
+
+}  // namespace
+
+extern "C" {
+
+// Sorts m edges by (src, etype, dst) into CSR group layout.
+// Outputs (caller-allocated):
+//   group_ptr   int64 [n*n_et + 1]
+//   perm        int64 [m]       original row of each CSR slot
+//   col         int32 [m]       dst sorted
+//   w_sorted    float [m]
+//   w_cumsum    float [m]       running prefix sum (float64 accumulated)
+//   group_w_sum float [n*n_et]
+// Returns 0 on success.
+int etpu_build_csr(int64_t n, int64_t n_et, int64_t m, const int32_t* src,
+                   const int32_t* dst, const int32_t* etype, const float* w,
+                   int64_t* group_ptr, int64_t* perm, int32_t* col,
+                   float* w_sorted, float* w_cumsum, float* group_w_sum) {
+  const int64_t g = n * n_et;
+  std::vector<std::atomic<int64_t>> cnt(g + 1);
+  for (auto& c : cnt) c.store(0, std::memory_order_relaxed);
+
+  parallel_for(m, [&](int64_t lo, int64_t hi) {
+    for (int64_t i = lo; i < hi; ++i) {
+      int64_t key = static_cast<int64_t>(src[i]) * n_et + etype[i];
+      if (key < 0 || key >= g) return;  // corrupt input guard
+      cnt[key + 1].fetch_add(1, std::memory_order_relaxed);
+    }
+  });
+  group_ptr[0] = 0;
+  for (int64_t i = 0; i < g; ++i)
+    group_ptr[i + 1] = group_ptr[i] + cnt[i + 1].load();
+  if (group_ptr[g] != m) return 1;
+
+  // scatter edges into their group (atomic bump per group)
+  std::vector<std::atomic<int64_t>> cursor(g);
+  for (int64_t i = 0; i < g; ++i)
+    cursor[i].store(group_ptr[i], std::memory_order_relaxed);
+  parallel_for(m, [&](int64_t lo, int64_t hi) {
+    for (int64_t i = lo; i < hi; ++i) {
+      int64_t key = static_cast<int64_t>(src[i]) * n_et + etype[i];
+      int64_t slot = cursor[key].fetch_add(1, std::memory_order_relaxed);
+      perm[slot] = i;
+    }
+  });
+
+  // sort within each group by dst (parallel over groups)
+  parallel_for(g, [&](int64_t lo, int64_t hi) {
+    for (int64_t k = lo; k < hi; ++k) {
+      int64_t a = group_ptr[k], b = group_ptr[k + 1];
+      std::sort(perm + a, perm + b, [&](int64_t x, int64_t y) {
+        return dst[x] < dst[y];
+      });
+    }
+  });
+
+  parallel_for(m, [&](int64_t lo, int64_t hi) {
+    for (int64_t i = lo; i < hi; ++i) {
+      col[i] = dst[perm[i]];
+      w_sorted[i] = w[perm[i]];
+    }
+  });
+
+  double acc = 0.0;
+  for (int64_t i = 0; i < m; ++i) {
+    acc += w_sorted[i];
+    w_cumsum[i] = static_cast<float>(acc);
+  }
+  parallel_for(g, [&](int64_t lo, int64_t hi) {
+    for (int64_t k = lo; k < hi; ++k) {
+      double s = 0.0;
+      for (int64_t i = group_ptr[k]; i < group_ptr[k + 1]; ++i)
+        s += w_sorted[i];
+      group_w_sum[k] = static_cast<float>(s);
+    }
+  });
+  return 0;
+}
+
+// Vose alias table: prob/alias (caller-allocated, size n). Zero or
+// non-finite total weight falls back to uniform, matching the python
+// implementation (euler_tpu/ops/alias.py).
+int etpu_build_alias(int64_t n, const float* w, float* prob,
+                     int32_t* alias) {
+  if (n == 0) return 0;
+  double total = 0.0;
+  for (int64_t i = 0; i < n; ++i) total += w[i];
+  std::vector<double> p(n);
+  if (!(total > 0.0) || !std::isfinite(total)) {
+    for (int64_t i = 0; i < n; ++i) p[i] = 1.0;
+  } else {
+    for (int64_t i = 0; i < n; ++i) p[i] = w[i] * (n / total);
+  }
+  std::vector<int64_t> small, large;
+  small.reserve(n);
+  large.reserve(n);
+  for (int64_t i = 0; i < n; ++i) {
+    prob[i] = 1.0f;
+    alias[i] = static_cast<int32_t>(i);
+    (p[i] < 1.0 ? small : large).push_back(i);
+  }
+  while (!small.empty() && !large.empty()) {
+    int64_t s = small.back(); small.pop_back();
+    int64_t l = large.back(); large.pop_back();
+    prob[s] = static_cast<float>(p[s]);
+    alias[s] = static_cast<int32_t>(l);
+    p[l] = (p[l] + p[s]) - 1.0;
+    (p[l] < 1.0 ? small : large).push_back(l);
+  }
+  return 0;
+}
+
+}  // extern "C"

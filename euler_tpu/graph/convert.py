@@ -179,6 +179,12 @@ def build_csr(n, n_et, src, dst, etype, ew, eid=None):
     m = len(src)
     if eid is None:
         eid = np.arange(m, dtype=np.int32)
+    # native fast path (csrc/euler_core.cc) — the reference's multithreaded
+    # loader role (graph_builder.cc:57-157); numpy fallback below
+    from euler_tpu.native import loader as _native
+    res = _native.build_csr_native(n, n_et, src, dst, etype, ew, eid)
+    if res is not None:
+        return res
     perm = np.lexsort((dst, etype, src))
     s, t, d, w = src[perm], etype[perm], dst[perm], ew[perm]
     group_key = s.astype(np.int64) * n_et + t

@@ -1,0 +1,103 @@
+"""ctypes binding for the native loading core (csrc/euler_core.cc).
+
+The reference's graph engine is C++ end-to-end; here the *device* work is
+XLA and only the host loading path (CSR build, alias tables — the
+graph_builder.cc:57-157 role) is native. The binding compiles the shared
+library on first use (g++ is baked into the image) and transparently falls
+back to the numpy implementations if compilation is unavailable.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "..", "..", "csrc", "euler_core.cc")
+_SO = os.path.join(_HERE, "libeuler_core.so")
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _compile() -> bool:
+    src = os.path.abspath(_SRC)
+    if not os.path.exists(src):
+        return False
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-pthread", "-std=c++17",
+           src, "-o", _SO]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return True
+    except Exception:
+        return False
+
+
+def get_lib():
+    """Load (compiling if needed) the native core; None if unavailable."""
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not os.path.exists(_SO) and not _compile():
+            return None
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError:
+            return None
+        i64, i32, f32 = (np.ctypeslib.ndpointer(dt, flags="C_CONTIGUOUS")
+                         for dt in (np.int64, np.int32, np.float32))
+        lib.etpu_build_csr.restype = ctypes.c_int
+        lib.etpu_build_csr.argtypes = [
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            i32, i32, i32, f32, i64, i64, i32, f32, f32, f32]
+        lib.etpu_build_alias.restype = ctypes.c_int
+        lib.etpu_build_alias.argtypes = [ctypes.c_int64, f32, f32, i32]
+        _lib = lib
+        return _lib
+
+
+def build_csr_native(n, n_et, src, dst, etype, ew, eid=None):
+    """Native equivalent of convert.build_csr; returns the same tuple or
+    None when the library is unavailable/failed."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    m = len(src)
+    src = np.ascontiguousarray(src, np.int32)
+    dst = np.ascontiguousarray(dst, np.int32)
+    etype = np.ascontiguousarray(etype, np.int32)
+    ew = np.ascontiguousarray(ew, np.float32)
+    group_ptr = np.empty(n * n_et + 1, np.int64)
+    perm = np.empty(m, np.int64)
+    col = np.empty(m, np.int32)
+    w_sorted = np.empty(m, np.float32)
+    w_cumsum = np.empty(m, np.float32)
+    gws = np.empty(n * n_et, np.float32)
+    rc = lib.etpu_build_csr(n, n_et, m, src, dst, etype, ew,
+                            group_ptr, perm, col, w_sorted, w_cumsum, gws)
+    if rc != 0:
+        return None
+    if eid is None:
+        eid = np.arange(m, dtype=np.int32)
+    gp = group_ptr.astype(np.int32) if group_ptr[-1] <= 2**31 - 1 \
+        else group_ptr
+    return (gp, col, w_sorted, w_cumsum,
+            np.asarray(eid)[perm].astype(np.int32), perm)
+
+
+def build_alias_native(weights):
+    lib = get_lib()
+    if lib is None:
+        return None
+    w = np.ascontiguousarray(weights, np.float32)
+    n = len(w)
+    prob = np.empty(n, np.float32)
+    alias = np.empty(n, np.int32)
+    if lib.etpu_build_alias(n, w, prob, alias) != 0:
+        return None
+    return prob, alias

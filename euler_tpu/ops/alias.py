@@ -25,6 +25,11 @@ def build_alias_table(weights: np.ndarray):
     n = len(w)
     if n == 0:
         return np.zeros(0, np.float32), np.zeros(0, np.int32)
+    if n > 4096:  # native fast path for big tables
+        from euler_tpu.native import loader as _native
+        res = _native.build_alias_native(w.astype(np.float32))
+        if res is not None:
+            return res
     total = w.sum()
     if not np.isfinite(total) or total <= 0:
         w = np.ones(n, np.float64)

@@ -1,0 +1,98 @@
+"""GAE/VGAE/DGI, GeniePath/LGCN, solution kit tests."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from euler_tpu.dataflow import flows
+from euler_tpu.estimator.estimator import NodeEstimator, RunConfig
+from euler_tpu.models import autoencoders, encoders, extra_nets, gnn, solution
+
+
+@pytest.fixture(scope="module")
+def sbm(tmp_path_factory):
+    from euler_tpu.datasets.synthetic import SBMDataset
+    d = tmp_path_factory.mktemp("sbm_extra")
+    ds = SBMDataset(str(d), n_nodes=200, n_classes=3, feat_dim=8, seed=7)
+    return ds, ds.load_graph()
+
+
+def _embedder(ds, graph, conv="sage"):
+    et = graph.meta.edge_types.index("link")
+    feat = encoders.ShallowEncoder(dense_names=(ds.feature_idx,))
+    return gnn.GNNNet(conv=conv,
+                      flow=flows.SageDataFlow([4], [(et,)]),
+                      dims=(16, 16), feature=feat), et
+
+
+@pytest.mark.parametrize("cls", ["gae", "vgae", "dgi"])
+def test_autoencoders_train(sbm, tmp_path, cls):
+    ds, graph = sbm
+    net, et = _embedder(ds, graph)
+    if cls == "gae":
+        model = autoencoders.GAE(embedder=net, edge_types=(et,), num_negs=3)
+    elif cls == "vgae":
+        model = autoencoders.VGAE(embedder=net, edge_types=(et,),
+                                  num_negs=3)
+    else:
+        model = autoencoders.DGI(embedder=net, num_negs=3)
+    cfg = RunConfig(model_dir=str(tmp_path / cls), batch_size=32,
+                    total_steps=15, log_steps=0, metric="mrr",
+                    learning_rate=0.02)
+    est = NodeEstimator(model, graph, cfg)
+    res = est.train()
+    assert np.isfinite(res["loss"])
+
+
+def test_geniepath_learns(sbm, tmp_path):
+    ds, graph = sbm
+    et = graph.meta.edge_types.index("link")
+    feat = encoders.ShallowEncoder(dense_names=(ds.feature_idx,))
+    net = extra_nets.GeniePathLazyNet(
+        flow=flows.SageDataFlow([4, 4], [(et,), (et,)]),
+        dims=(16, 16), feature=feat)
+    model = gnn.SuperviseModel(embedder=net, label_name=ds.label_idx,
+                               label_dim=ds.label_dim)
+    cfg = RunConfig(model_dir=str(tmp_path / "gp"), batch_size=64,
+                    total_steps=80, log_steps=0, learning_rate=0.02)
+    est = NodeEstimator(model, graph, cfg,
+                        train_node_type=ds.train_node_type)
+    est.train()
+    res = est.evaluate(ds.test_ids)
+    assert res["f1"] > 0.6, res
+
+
+def test_lgcn_forward(sbm, tmp_path):
+    ds, graph = sbm
+    et = graph.meta.edge_types.index("link")
+    feat = encoders.ShallowEncoder(dense_names=(ds.feature_idx,))
+    net = extra_nets.LGCNNet(
+        flow=flows.SageDataFlow([6, 6], [(et,), (et,)]),
+        dims=(16, 16), feature=feat, k=3)
+    model = gnn.SuperviseModel(embedder=net, label_name=ds.label_idx,
+                               label_dim=ds.label_dim)
+    cfg = RunConfig(model_dir=str(tmp_path / "lgcn"), batch_size=32,
+                    total_steps=10, log_steps=0)
+    est = NodeEstimator(model, graph, cfg,
+                        train_node_type=ds.train_node_type)
+    res = est.train()
+    assert np.isfinite(res["loss"])
+
+
+def test_solution_kit(sbm):
+    ds, graph = sbm
+    g = graph.tensors
+    key = jax.random.PRNGKey(0)
+    roots = jnp.arange(8, dtype=jnp.int32)
+    pos, mask = solution.sample_pos_with_types(g, key, roots, (0,))
+    assert pos.shape == (8, 1)
+    negs = solution.sample_neg_with_types(g, key, roots, -1, 4)
+    assert negs.shape == (8, 4)
+    emb = jax.random.normal(key, (8, 16))
+    head = solution.PosNegLogits()
+    p, n = head.apply({}, emb, emb, jnp.stack([emb] * 4, 1))
+    assert p.shape == (8, 1) and n.shape == (8, 4)
+    assert np.isfinite(float(solution.xent_loss(p, n)))
+    cos = solution.CosineLogits()
+    c = cos.apply({}, emb, emb)
+    np.testing.assert_allclose(np.asarray(c), 1.0, rtol=1e-5)
