@@ -12,3 +12,4 @@ __version__ = "0.1.0"
 from euler_tpu.graph import (Graph, GraphMeta, GraphTensors, convert_json_file,
                              convert_json_graph, default_graph,
                              initialize_graph, load_graph)
+from euler_tpu.query import Query, udf_max, udf_mean, udf_min

@@ -293,6 +293,75 @@ def get_multi_hop_neighbor(g: GraphTensors, key, nodes: Array,
     return out
 
 
+def sample_layer(g: GraphTensors, key, frontier: Array, edge_types,
+                 candidates_per_node: int, n_layer_nodes: int,
+                 weight_func="sqrt"):
+    """One shared layer sampled from the union of frontier neighborhoods
+    (the op behind ``sampleLNB`` / sample_fanout_layerwise).
+
+    reference: API_SAMPLE_L / local_sample_layer_op.cc:94-102 — candidate
+    importance = weight_func(summed edge weight), default sqrt. Device
+    formulation: candidate pool of weighted draws, Gumbel top-k without
+    replacement. Returns (layer_ids [m], layer_weights [m]); -1 padded.
+    """
+    wf = {"sqrt": jnp.sqrt, "id": lambda x: x,
+          "uniform": jnp.ones_like}.get(weight_func, weight_func)
+    k1, k2 = jax.random.split(key)
+    cand, cw, _, _ = sample_neighbor(g, k1, frontier.reshape(-1),
+                                     edge_types, candidates_per_node)
+    flat, fw = cand.reshape(-1), cw.reshape(-1)
+    score = jnp.where(flat >= 0, wf(jnp.maximum(fw, 0.0)), 0.0)
+    gumbel = -jnp.log(-jnp.log(
+        jax.random.uniform(k2, flat.shape, minval=1e-20, maxval=1.0)))
+    keyed = jnp.where(score > 0, jnp.log(score) + gumbel, -jnp.inf)
+    _, top = jax.lax.top_k(keyed, n_layer_nodes)
+    ok = jnp.isfinite(keyed[top])
+    return jnp.where(ok, flat[top], -1), jnp.where(ok, fw[top], 0.0)
+
+
+def sparse_get_adj(g: GraphTensors, nodes: Array, nb_nodes: Array,
+                   edge_types):
+    """Bipartite adjacency between ``nodes`` [B] and ``nb_nodes`` [M] under
+    the given edge types, as a dense [B, M] (connected, weight) pair.
+
+    reference: SparseGetAdj (tf_euler/ops/euler_ops.cc:22,
+    euler/core/kernels/sparse_get_adj_op.cc) returning a SparseTensor;
+    here a fixed-shape mask — the jit-friendly layout WholeDataFlow
+    consumes. Membership tests are binary searches over the per-group
+    dst-sorted CSR (the GetSortedFullNeighbor layout, node.h:96).
+    """
+    ets = _as_etypes(g, edge_types)
+    nodes = jnp.asarray(nodes, jnp.int32).reshape(-1)
+    nb = jnp.asarray(nb_nodes, jnp.int32).reshape(-1)
+    rows = jnp.maximum(nodes, 0)
+    conn = jnp.zeros((nodes.shape[0], nb.shape[0]), bool)
+    w = jnp.zeros((nodes.shape[0], nb.shape[0]), jnp.float32)
+    E = g.adj_dst.shape[0]
+    for et in ets:
+        lo, hi = _group_bounds(g, rows, jnp.full_like(rows, et))  # [B]
+        # vectorized per-row binary search: 32 halving steps over [lo,hi)
+        B, M = nodes.shape[0], nb.shape[0]
+        lo_b = jnp.broadcast_to(lo[:, None], (B, M))
+        hi_b = jnp.broadcast_to(hi[:, None], (B, M))
+        tgt = jnp.broadcast_to(nb[None, :], (B, M))
+
+        def body(_, carry):
+            l, h = carry
+            mid = (l + h) // 2
+            v = g.adj_dst[jnp.clip(mid, 0, E - 1)]
+            go_right = v < tgt
+            return jnp.where(go_right, mid + 1, l), \
+                jnp.where(go_right, h, mid)
+
+        l, h = jax.lax.fori_loop(0, 32, body, (lo_b, hi_b))
+        slot = jnp.clip(l, 0, E - 1)
+        hit = (l < hi_b) & (g.adj_dst[slot] == tgt) & \
+            (nodes >= 0)[:, None] & (nb >= 0)[None, :]
+        conn = conn | hit
+        w = jnp.where(hit, g.adj_w[slot], w)
+    return conn, w
+
+
 def sample_graph_label(g: GraphTensors, key, count: int) -> Array:
     """Uniformly sample graph indices (graph-classification batches).
 

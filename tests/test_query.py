@@ -1,0 +1,166 @@
+"""Query builder (GQL facade), sparse_get_adj, util ops tests."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from euler_tpu.graph.store import load_graph
+from euler_tpu.ops import sampling, util_ops
+from euler_tpu.query import Query, udf_max, udf_mean
+from tests.fixtures import EDGES, EXT_IDS
+
+
+@pytest.fixture(scope="module")
+def toy(toy_dir_module):
+    return load_graph(toy_dir_module)
+
+
+@pytest.fixture(scope="module")
+def toy_dir_module(tmp_path_factory):
+    from euler_tpu.graph import convert_json_graph
+    from tests.fixtures import toy_graph_json
+    d = tmp_path_factory.mktemp("toy_query")
+    convert_json_graph(toy_graph_json(), str(d), n_partitions=2)
+    return str(d)
+
+
+def _lid(g, ext):
+    return g.local_id(ext)
+
+
+def test_v_samplenb_values(toy):
+    g = toy
+    click = g.meta.edge_type_id("click")
+    ids = jnp.asarray([_lid(g, 100), _lid(g, 102)], jnp.int32)
+    out = (Query(g).v(ids)
+           .sampleNB((click,), 8).alias("nb")
+           .values("dense2").alias("f")
+           .run(jax.random.PRNGKey(0)))
+    nb = out["nb"]
+    assert nb.ids.shape == (2, 8)
+    # 100 -clicks-> {101, 103}; 102 -clicks-> {101}
+    n100 = {_lid(g, 101), _lid(g, 103)}
+    assert set(np.asarray(nb.ids[0]).tolist()) <= n100
+    assert set(np.asarray(nb.ids[1]).tolist()) == {_lid(g, 101)}
+    # features gathered for the flattened neighbor block
+    assert out["f"].shape == (16, 2)
+    ext_of = np.asarray(g.ext_ids)
+    got = np.asarray(out["f"])[:, 0]
+    want = ext_of[np.asarray(nb.ids).reshape(-1)]
+    assert np.allclose(got, want)
+
+
+def test_sampleN_conditional(toy):
+    g = toy
+    # price = 2.5 * local_enumeration_index; sample only price >= 10
+    out = (Query(g).sampleN(-1, 64).ge("price", 10.0)
+           .alias("n").run(jax.random.PRNGKey(1)))
+    ids = np.asarray(out["n"].ids)
+    assert (ids >= 0).all()
+    price = np.asarray(g.tensors.dense_nf["price"])[ids, 0]
+    assert (price >= 10.0).all()
+
+
+def test_hasLabel_filters_type(toy):
+    g = toy
+    out = (Query(g).sampleN(-1, 32).hasLabel("user")
+           .run(jax.random.PRNGKey(2)))
+    ids = np.asarray(out["_frontier"].ids)
+    ut = g.meta.node_type_id("user")
+    assert (np.asarray(g.tensors.node_type)[ids] == ut).all()
+
+
+def test_sampleE_outV_inV(toy):
+    g = toy
+    buy = g.meta.edge_type_id("buy")
+    out = (Query(g).sampleE(buy, 32).alias("e")
+           .inV().alias("dst").run(jax.random.PRNGKey(3)))
+    e = out["e"]
+    buys = {(s, d) for s, d, t, w in EDGES if t == "buy"}
+    ext = np.asarray(g.ext_ids)
+    got = {(int(ext[s]), int(ext[d]))
+           for s, d in zip(np.asarray(e.src), np.asarray(e.dst))}
+    assert got <= buys
+    assert np.array_equal(np.asarray(out["dst"].ids), np.asarray(e.dst))
+
+
+def test_order_by_limit(toy):
+    g = toy
+    click = g.meta.edge_type_id("click")
+    ids = jnp.asarray([_lid(g, 100)], jnp.int32)
+    out = (Query(g).v(ids).sampleNB((click,), 8)
+           .order_by("weight", desc=True).limit(3)
+           .run(jax.random.PRNGKey(4)))
+    f = out["_frontier"]
+    assert f.ids.shape == (1, 3)
+    w = np.asarray(f.weights[0])
+    assert (np.diff(w) <= 1e-6).all()  # descending
+
+
+def test_values_udf_and_label(toy):
+    g = toy
+    ids = jnp.asarray([_lid(g, 100), _lid(g, 101)], jnp.int32)
+    out = (Query(g).v(ids).values(udf_mean("dense2")).alias("m")
+           .label().alias("t").run(jax.random.PRNGKey(5)))
+    want = np.asarray(g.tensors.dense_nf["dense2"])[np.asarray(ids)].mean(-1)
+    assert np.allclose(np.asarray(out["m"]).ravel(), want, atol=1e-5)
+    assert np.array_equal(np.asarray(out["t"]),
+                          np.asarray(g.tensors.node_type)[np.asarray(ids)])
+
+
+def test_e_lookup(toy):
+    g = toy
+    out = Query(g).e(jnp.asarray([0, 3], jnp.int32)).run(
+        jax.random.PRNGKey(6))
+    f = out["_frontier"]
+    ext = np.asarray(g.ext_ids)
+    # eid i is the i-th edge of the fixture EDGES list (converter order)
+    for k, eid in enumerate([0, 3]):
+        s, d, t, w = EDGES[eid]
+        assert int(ext[int(f.src[k])]) == s
+        assert int(ext[int(f.dst[k])]) == d
+
+
+def test_sampleLNB_layer(toy):
+    g = toy
+    click = g.meta.edge_type_id("click")
+    ids = jnp.asarray([_lid(g, 100), _lid(g, 102)], jnp.int32)
+    out = (Query(g).v(ids).sampleLNB((click,), 4, 3)
+           .run(jax.random.PRNGKey(7)))
+    layer = np.asarray(out["_frontier"].ids)
+    assert layer.shape == (3,)
+    valid = layer[layer >= 0]
+    allowed = {_lid(g, 101), _lid(g, 103)}
+    assert set(valid.tolist()) <= allowed
+
+
+def test_sparse_get_adj(toy):
+    g = toy.tensors
+    click = toy.meta.edge_type_id("click")
+    nodes = jnp.asarray([_lid(toy, 100), _lid(toy, 104)], jnp.int32)
+    nb = jnp.asarray([_lid(toy, 101), _lid(toy, 103), _lid(toy, 105)],
+                     jnp.int32)
+    conn, w = sampling.sparse_get_adj(g, nodes, nb, (click,))
+    want = np.array([[1, 1, 0], [0, 0, 1]], bool)
+    assert np.array_equal(np.asarray(conn), want)
+    assert np.allclose(np.asarray(w)[0, :2], [1.0, 3.0])
+
+
+def test_inflate_idx():
+    # unique values [5,7,9]; idx = positions' unique slots
+    idx = jnp.asarray([0, 1, 0, 2, 1, 0])
+    out = np.asarray(util_ops.inflate_idx(idx))
+    # counts [3,2,1]; starts [0,3,5]
+    assert sorted(out.tolist()) == [0, 1, 2, 3, 4, 5]
+    assert out[0] == 0 and out[2] == 1 and out[5] == 2   # value 0 slots
+    assert out[1] == 3 and out[4] == 4                   # value 1 slots
+    assert out[3] == 5                                   # value 2 slot
+
+
+def test_sparse_gather():
+    ids = jnp.asarray([[1, 2, -1], [3, -1, -1], [4, 5, 6]])
+    mask = ids >= 0
+    rows, m = util_ops.sparse_gather(jnp.asarray([2, 0, -1]), ids, mask)
+    assert np.array_equal(np.asarray(rows[0]), [4, 5, 6])
+    assert np.array_equal(np.asarray(rows[1]), [1, 2, -1])
+    assert not np.asarray(m[2]).any()
