@@ -50,11 +50,14 @@ def main():
 
     roots0 = jnp.arange(batch, dtype=jnp.int32)
     rngs = {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)}
-    params = model.init(rngs, g, roots0)
+    params = jax.jit(model.init)(rngs, g, roots0)  # jit: eager init is
+    # per-op dispatch, pathological on tunneled devices
     opt_state = tx.init(params)
 
+    # graph passed as a jit argument — closure capture would embed it as
+    # program constants (catastrophic compile + dispatch cost)
     @jax.jit
-    def step(params, opt_state, key):
+    def step(g, params, opt_state, key):
         kb, ks = jax.random.split(key)
         roots = sampling.sample_node(g, kb, batch, -1)
 
@@ -70,13 +73,14 @@ def main():
         + batch + batch * fanout[0]
 
     # warmup/compile
-    params, opt_state, loss = step(params, opt_state, jax.random.PRNGKey(2))
+    params, opt_state, loss = step(g, params, opt_state,
+                                   jax.random.PRNGKey(2))
     jax.block_until_ready(loss)
 
     iters = 50 if on_tpu else 10
     t0 = time.perf_counter()
     for i in range(iters):
-        params, opt_state, loss = step(params, opt_state,
+        params, opt_state, loss = step(g, params, opt_state,
                                        jax.random.PRNGKey(3 + i))
     jax.block_until_ready(loss)
     dt = time.perf_counter() - t0

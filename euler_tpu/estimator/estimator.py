@@ -71,9 +71,17 @@ class BaseEstimator:
     # ---- param init / checkpointing ---------------------------------------
     def _init_params(self, key):
         g = self.graph.tensors
-        kp, ks, kb = jax.random.split(key, 3)
-        batch = self.train_batch(g, kb)
-        return self.model.init({"params": kp, "sample": ks}, g, batch)
+        model, batch_fn = self.model, self.train_batch
+
+        # jit the whole init: eager flax init dispatches every traced op
+        # individually (very slow on remote/tunneled accelerators)
+        @jax.jit
+        def init(g, key):
+            kp, ks, kb = jax.random.split(key, 3)
+            return model.init({"params": kp, "sample": ks}, g,
+                              batch_fn(g, kb))
+
+        return init(g, key)
 
     @property
     def params(self):
@@ -122,8 +130,11 @@ class BaseEstimator:
 
         model, tx, batch_fn = self.model, self.tx, self.train_batch
 
+        # NB: the graph is a jit *argument*, never a closure — closure
+        # capture turns the multi-GB store into program constants, which
+        # wrecks both compile time and dispatch (see .claude/skills/verify).
         @jax.jit
-        def step(params, opt_state, key):
+        def step(g, params, opt_state, key):
             kb, ks = jax.random.split(key)
             batch = batch_fn(g, kb)
 
@@ -141,7 +152,7 @@ class BaseEstimator:
         last_loss = float("nan")
         for i in range(total):
             key, sub = jax.random.split(key)
-            params, opt_state, loss = step(params, opt_state, sub)
+            params, opt_state, loss = step(g, params, opt_state, sub)
             if cfg.log_steps and (i + 1) % cfg.log_steps == 0:
                 last_loss = float(loss)
                 rate = (i + 1) * cfg.batch_size / (time.time() - t0)
@@ -165,9 +176,11 @@ class BaseEstimator:
         padded = np.concatenate([ids, pad_block])
         outs = []
         key = jax.random.PRNGKey(cfg.seed + 2)
+        g = self.graph.tensors
         for i in range(0, len(padded), B):
             key, sub = jax.random.split(key)
-            outs.append(fn(self.params, jnp.asarray(padded[i:i + B]), sub))
+            outs.append(fn(g, self.params, jnp.asarray(padded[i:i + B]),
+                           sub))
         return outs, n
 
     def evaluate(self, ids: Sequence[int]) -> Dict[str, float]:
@@ -177,7 +190,7 @@ class BaseEstimator:
         metric = metrics_lib.get(metric_name)
 
         @jax.jit
-        def eval_fn(params, batch, key):
+        def eval_fn(g, params, batch, key):
             out = model.apply(params, g, batch, rngs={"sample": key})
             return out
 
@@ -218,7 +231,7 @@ class BaseEstimator:
         model = self.model
 
         @jax.jit
-        def embed_fn(params, batch, key):
+        def embed_fn(g, params, batch, key):
             out = model.apply(params, g, batch, rngs={"sample": key})
             return out["embedding"]
 
@@ -299,7 +312,7 @@ class GraphEstimator(BaseEstimator):
         model = self.model
 
         @jax.jit
-        def eval_fn(params, gidx, key):
+        def eval_fn(g, params, gidx, key):
             batch = self._make_batch(g, gidx)
             return model.apply(params, g, batch, rngs={"sample": key})
 
@@ -316,7 +329,7 @@ class GraphEstimator(BaseEstimator):
         model = self.model
 
         @jax.jit
-        def embed_fn(params, gidx, key):
+        def embed_fn(g, params, gidx, key):
             batch = self._make_batch(g, gidx)
             out = model.apply(params, g, batch, rngs={"sample": key})
             return out["embedding"]
