@@ -90,6 +90,20 @@ class BaseEstimator:
                 jax.random.PRNGKey(self.config.seed))
         return self._params
 
+    def _split_vars(self):
+        """(trainable params, non-trainable state collections).
+
+        Models with mutable collections (e.g. the ``cache`` stores of
+        scalable.ScalableGNNNet) keep those out of the optimizer —
+        the reference marks its stores non-trainable LOCAL_VARIABLES
+        (encoders.py:314-327)."""
+        variables = dict(self.params)
+        p = variables.pop("params", {})
+        return p, variables
+
+    def _merge_vars(self, p, state):
+        return {"params": p, **state}
+
     def _ckpt_dir(self):
         return os.path.join(os.path.abspath(self.config.model_dir), "ckpt")
 
@@ -125,7 +139,8 @@ class BaseEstimator:
         cfg = self.config
         total = total_steps or cfg.total_steps
         g = self.graph.tensors
-        params = self.params
+        params, state = self._split_vars()
+        mutable = list(state.keys())
         opt_state = self.tx.init(params)
 
         model, tx, batch_fn = self.model, self.tx, self.train_batch
@@ -134,34 +149,43 @@ class BaseEstimator:
         # capture turns the multi-GB store into program constants, which
         # wrecks both compile time and dispatch (see .claude/skills/verify).
         @jax.jit
-        def step(g, params, opt_state, key):
+        def step(g, params, state, opt_state, key):
             kb, ks = jax.random.split(key)
             batch = batch_fn(g, kb)
 
             def loss_fn(p):
-                out = model.apply(p, g, batch, rngs={"sample": ks})
-                return out["loss"], out
+                if mutable:
+                    out, new_state = model.apply(
+                        {"params": p, **state}, g, batch,
+                        rngs={"sample": ks}, mutable=mutable)
+                else:
+                    out = model.apply({"params": p, **state}, g, batch,
+                                      rngs={"sample": ks})
+                    new_state = state
+                return out["loss"], (out, new_state)
 
-            (loss, out), grads = jax.value_and_grad(
+            (loss, (out, new_state)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(params)
             updates, opt_state2 = tx.update(grads, opt_state, params)
-            return optax.apply_updates(params, updates), opt_state2, loss
+            return (optax.apply_updates(params, updates), new_state,
+                    opt_state2, loss)
 
         key = jax.random.PRNGKey(cfg.seed + 1)
         t0 = time.time()
         last_loss = float("nan")
         for i in range(total):
             key, sub = jax.random.split(key)
-            params, opt_state, loss = step(g, params, opt_state, sub)
+            params, state, opt_state, loss = step(g, params, state,
+                                                  opt_state, sub)
             if cfg.log_steps and (i + 1) % cfg.log_steps == 0:
                 last_loss = float(loss)
                 rate = (i + 1) * cfg.batch_size / (time.time() - t0)
                 log_fn(f"[euler_tpu] step {i + 1}/{total} "
                        f"loss={last_loss:.4f} ({rate:.0f} ex/s)")
             if cfg.save_steps and (i + 1) % cfg.save_steps == 0:
-                self._params = params
+                self._params = self._merge_vars(params, state)
                 self._save(i + 1)
-        self._params = params
+        self._params = self._merge_vars(params, state)
         self._save(total)
         return {"loss": float(last_loss) if last_loss == last_loss
                 else float(loss), "steps": total}
@@ -189,9 +213,15 @@ class BaseEstimator:
         metric_name = self.config.metric
         metric = metrics_lib.get(metric_name)
 
+        mutable = [k for k in self.params if k != "params"]
+
         @jax.jit
         def eval_fn(g, params, batch, key):
-            out = model.apply(params, g, batch, rngs={"sample": key})
+            if mutable:   # cache-carrying models; discard updates in eval
+                out, _ = model.apply(params, g, batch,
+                                     rngs={"sample": key}, mutable=mutable)
+            else:
+                out = model.apply(params, g, batch, rngs={"sample": key})
             return out
 
         ids = np.asarray(ids, np.int32)
@@ -230,9 +260,15 @@ class BaseEstimator:
         g = self.graph.tensors
         model = self.model
 
+        mutable = [k for k in self.params if k != "params"]
+
         @jax.jit
         def embed_fn(g, params, batch, key):
-            out = model.apply(params, g, batch, rngs={"sample": key})
+            if mutable:
+                out, _ = model.apply(params, g, batch,
+                                     rngs={"sample": key}, mutable=mutable)
+            else:
+                out = model.apply(params, g, batch, rngs={"sample": key})
             return out["embedding"]
 
         ids = np.asarray(ids, np.int32)

@@ -1,0 +1,144 @@
+"""Layers, aggregators, scalable (historical-cache) nets, dense utils."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from euler_tpu.models import aggregators, layers, scalable
+from euler_tpu.utils import dense
+
+
+def test_embedding_masks_padding():
+    m = layers.Embedding(max_id=9, dim=4)
+    p = m.init(jax.random.PRNGKey(0), jnp.asarray([1, -1, 3]))
+    out = m.apply(p, jnp.asarray([1, -1, 3]))
+    assert out.shape == (3, 4)
+    assert np.allclose(np.asarray(out[1]), 0.0)
+    assert not np.allclose(np.asarray(out[0]), 0.0)
+
+
+def test_sparse_embedding_combiners():
+    ids = jnp.asarray([[1, 2, -1], [3, -1, -1]])
+    for comb in ("sum", "mean"):
+        m = layers.SparseEmbedding(max_id=9, dim=4, combiner=comb)
+        p = m.init(jax.random.PRNGKey(0), ids)
+        out = m.apply(p, ids)
+        assert out.shape == (2, 4)
+        tab = p["params"]["embeddings"]["embedding"]
+        if comb == "sum":
+            want0 = tab[1] + tab[2]
+        else:
+            want0 = (tab[1] + tab[2]) / 2
+        assert np.allclose(np.asarray(out[0]), np.asarray(want0), atol=1e-6)
+
+
+def test_hash_embedding_buckets():
+    m = layers.HashEmbedding(buckets=8, dim=4)
+    ids = jnp.asarray([3, 11, -1])     # 3 and 11 collide mod 8
+    p = m.init(jax.random.PRNGKey(0), ids)
+    out = m.apply(p, ids)
+    assert np.allclose(np.asarray(out[0]), np.asarray(out[1]))
+    assert np.allclose(np.asarray(out[2]), 0.0)
+
+
+def test_att_layer_shapes_and_mask():
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 5, 8))
+    mask = jnp.asarray([[1, 1, 1, 0, 0], [1, 1, 1, 1, 1]], bool)
+    m = layers.AttLayer(out_dim=6, hidden_dim=(8,), head_num=(2, 2))
+    p = m.init(jax.random.PRNGKey(1), x, mask)
+    out = m.apply(p, x, mask)
+    assert out.shape == (2, 12)  # 2 heads x out_dim concat
+    # masked positions must not influence: change them, output equal
+    x2 = x.at[0, 3:].set(99.0)
+    out2 = m.apply(p, x2, mask)
+    assert np.allclose(np.asarray(out[0]), np.asarray(out2[0]), atol=1e-4)
+
+
+def test_lstm_layer():
+    x = jax.random.normal(jax.random.PRNGKey(0), (3, 7, 5))
+    m = layers.LSTMLayer(out_dim=6)
+    p = m.init(jax.random.PRNGKey(1), x)
+    ys, carry = m.apply(p, x)
+    assert ys.shape == (3, 7, 6)
+
+
+@pytest.mark.parametrize("name", ["gcn", "mean", "meanpool", "maxpool"])
+def test_aggregators(name):
+    cls = aggregators.get(name)
+    m = cls(dim=8)
+    self_emb = jax.random.normal(jax.random.PRNGKey(0), (4, 6))
+    neigh = jax.random.normal(jax.random.PRNGKey(1), (4, 5, 6))
+    mask = jnp.asarray(np.random.default_rng(0).random((4, 5)) > 0.3)
+    p = m.init(jax.random.PRNGKey(2), self_emb, neigh, mask)
+    out = m.apply(p, self_emb, neigh, mask)
+    assert out.shape == (4, 8)
+    # masked-out neighbors don't change the output
+    neigh2 = jnp.where(mask[..., None], neigh, 123.0)
+    out2 = m.apply(p, self_emb, neigh2, mask)
+    assert np.allclose(np.asarray(out), np.asarray(out2), atol=1e-4)
+
+
+def test_mean_aggregator_concat():
+    m = aggregators.MeanAggregator(dim=8, concat=True)
+    self_emb = jnp.ones((2, 4))
+    neigh = jnp.ones((2, 3, 4))
+    p = m.init(jax.random.PRNGKey(0), self_emb, neigh)
+    assert m.apply(p, self_emb, neigh).shape == (2, 8)
+
+
+@pytest.fixture(scope="module")
+def sbm(tmp_path_factory):
+    from euler_tpu.datasets.synthetic import SBMDataset
+    d = tmp_path_factory.mktemp("sbm_scal")
+    ds = SBMDataset(str(d), n_nodes=300, n_classes=3, feat_dim=8, seed=11)
+    return ds, ds.load_graph()
+
+
+def test_scalable_net_trains_and_updates_cache(sbm, tmp_path):
+    from euler_tpu.estimator.estimator import NodeEstimator, RunConfig
+    from euler_tpu.models import encoders, gnn
+    ds, graph = sbm
+    et = graph.meta.edge_type_id("link")
+    feat = encoders.ShallowEncoder(dense_names=(ds.feature_idx,))
+    net = scalable.ScalableGNNNet(
+        edge_types=(et,), num_layers=2, dim=16, feature=feat,
+        n_nodes=graph.meta.n_nodes, fanout=5)
+    model = gnn.SuperviseModel(embedder=net, label_name=ds.label_idx,
+                               label_dim=ds.label_dim)
+    est = NodeEstimator(model, graph,
+                        RunConfig(model_dir=str(tmp_path / "scal"),
+                                  batch_size=32, total_steps=60,
+                                  log_steps=0, learning_rate=0.02),
+                        train_node_type=ds.train_node_type)
+    store_before = np.asarray(
+        est.params["cache"]["embedder"]["store_layer_1"]).copy()
+    res = est.train()
+    assert np.isfinite(res["loss"])
+    store_after = np.asarray(
+        est.params["cache"]["embedder"]["store_layer_1"])
+    assert not np.allclose(store_before, store_after)  # cache was written
+    m = est.evaluate(ds.test_ids)
+    assert m["f1"] > 0.5  # learns on easy SBM
+
+
+def test_to_dense_batch():
+    x = jnp.arange(12, dtype=jnp.float32).reshape(6, 2)
+    gi = jnp.asarray([0, 1, 0, 1, 1, -1])
+    out, mask = dense.to_dense_batch(x, gi, n_graphs=2, max_nodes=3)
+    assert out.shape == (2, 3, 2)
+    assert np.allclose(np.asarray(out[0, 0]), [0, 1])
+    assert np.allclose(np.asarray(out[0, 1]), [4, 5])
+    assert np.allclose(np.asarray(out[1, 2]), [8, 9])
+    assert np.array_equal(np.asarray(mask),
+                          [[1, 1, 0], [1, 1, 1]])
+
+
+def test_to_dense_adj():
+    # graph0 = nodes {0,2}, graph1 = nodes {1,3}
+    gi = jnp.asarray([0, 1, 0, 1])
+    ei = jnp.asarray([[0, 2, 1, 0], [2, 0, 3, 1]])  # last edge crosses
+    adj = dense.to_dense_adj(ei, gi, n_graphs=2, max_nodes=2)
+    assert adj.shape == (2, 2, 2)
+    assert adj[0, 0, 1] == 1.0 and adj[0, 1, 0] == 1.0
+    assert adj[1, 0, 1] == 1.0
+    assert np.asarray(adj).sum() == 3.0  # cross-graph edge dropped
