@@ -109,6 +109,7 @@ class MotifDataset:
         self.data_dir = os.path.join(data_dir, f"motif_{n_graphs}")
         self.n_graphs = n_graphs
         self.seed = seed
+        self.total_size = n_graphs
         self.num_classes = 2
         self.label_idx = "label"
         self.feature_idx = "feature"
@@ -139,6 +140,7 @@ class SBMDataset:
         self.kw = kw
         # metadata contract (reference: cora.py:33-49)
         self.max_node_id = n_nodes - 1
+        self.total_size = n_nodes
         self.train_node_type = "train"
         self.all_node_type = -1
         self.train_edge_type = ["link"]

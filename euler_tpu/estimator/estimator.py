@@ -50,6 +50,9 @@ class RunConfig:
     save_steps: int = 0          # 0 => only at end
     seed: int = 0
     metric: str = "f1"
+    profile: bool = False        # jax.profiler trace of steps 10-20
+    profile_dir: str = "prof_dir"  # (reference: ProfilerHook
+    # base_estimator.py:130-134)
 
 
 class BaseEstimator:
@@ -170,6 +173,11 @@ class BaseEstimator:
             return (optax.apply_updates(params, updates), new_state,
                     opt_state2, loss)
 
+        profiler = None
+        if cfg.profile:
+            from euler_tpu.utils.hooks import ProfilerHook
+            profiler = ProfilerHook(cfg.profile_dir, start=10, steps=10)
+
         key = jax.random.PRNGKey(cfg.seed + 1)
         t0 = time.time()
         last_loss = float("nan")
@@ -177,6 +185,8 @@ class BaseEstimator:
             key, sub = jax.random.split(key)
             params, state, opt_state, loss = step(g, params, state,
                                                   opt_state, sub)
+            if profiler is not None:
+                profiler(i + 1)
             if cfg.log_steps and (i + 1) % cfg.log_steps == 0:
                 last_loss = float(loss)
                 rate = (i + 1) * cfg.batch_size / (time.time() - t0)
@@ -185,6 +195,8 @@ class BaseEstimator:
             if cfg.save_steps and (i + 1) % cfg.save_steps == 0:
                 self._params = self._merge_vars(params, state)
                 self._save(i + 1)
+        if profiler is not None:
+            profiler.close()
         self._params = self._merge_vars(params, state)
         self._save(total)
         return {"loss": float(last_loss) if last_loss == last_loss

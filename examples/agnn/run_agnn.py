@@ -1,0 +1,9 @@
+"""agnn example (reference: examples/agnn/run_agnn.py)."""
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+from common import run_conv_example  # noqa: E402
+
+if __name__ == "__main__":
+    run_conv_example("agnn", flow_name="whole")

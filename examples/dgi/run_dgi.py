@@ -1,0 +1,28 @@
+"""Deep Graph Infomax (reference: examples/dgi/dgi.py)."""
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+from common import (edge_type_ids, get_dataset, parse_flags,  # noqa: E402
+                    run_node_model)
+
+
+def main(argv=None):
+    args = parse_flags(argv)
+    ds = get_dataset(args.dataset, args.data_dir)
+    graph = ds.load_graph()
+    from euler_tpu.dataflow import flows
+    from euler_tpu.models import autoencoders, encoders, gnn
+    ets = edge_type_ids(graph, ds.train_edge_type)
+    fanouts = args.fanouts or [10] * args.layers
+    feat = encoders.ShallowEncoder(dense_names=(ds.feature_idx,))
+    net = gnn.GNNNet(conv="gcn",
+                     flow=flows.SageDataFlow(fanouts, [ets] * args.layers),
+                     dims=tuple([args.hidden_dim] * (args.layers + 1)),
+                     feature=feat)
+    model = autoencoders.DGI(embedder=net)
+    return run_node_model(args, ds, graph, model, metric="mrr")
+
+
+if __name__ == "__main__":
+    main()

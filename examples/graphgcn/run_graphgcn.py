@@ -1,0 +1,10 @@
+"""Graph classification with gcn + mean pooling
+(reference: examples/graphgcn)."""
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+from common import run_graph_conv_example  # noqa: E402
+
+if __name__ == "__main__":
+    run_graph_conv_example("gcn", pool_name="mean")

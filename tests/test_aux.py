@@ -1,0 +1,111 @@
+"""KNN, GraphConfig, dataset registry, hooks, profiler flag."""
+import os
+
+import numpy as np
+import pytest
+
+from euler_tpu.knn import KnnIndex
+from euler_tpu.utils.config import GraphConfig, define_run_flags
+
+
+def test_knn_l2_exact():
+    rng = np.random.default_rng(0)
+    emb = rng.normal(size=(500, 16)).astype(np.float32)
+    ids = np.arange(1000, 1500)
+    idx = KnnIndex(emb, ids, metric="l2")
+    d, i = idx.search(emb[:5], k=3)
+    # nearest neighbor of each point is itself, distance ~0
+    assert np.array_equal(i[:, 0], ids[:5])
+    assert np.allclose(d[:, 0], 0.0, atol=1e-3)
+    # brute-force check row 0
+    want = np.argsort(((emb - emb[0]) ** 2).sum(1))[:3]
+    assert set(i[0].tolist()) == set(ids[want].tolist())
+
+
+def test_knn_cosine_and_ip():
+    rng = np.random.default_rng(1)
+    emb = rng.normal(size=(100, 8)).astype(np.float32)
+    q = emb[:3] * 5.0   # scaled copies: cosine still matches themselves
+    idx = KnnIndex(emb, metric="cosine")
+    _, i = idx.search(q, k=1)
+    assert np.array_equal(i[:, 0], [0, 1, 2])
+    idx_ip = KnnIndex(emb, metric="ip")
+    d, _ = idx_ip.search(q, k=1)
+    assert d.shape == (3, 1)
+
+
+def test_knn_cli(tmp_path):
+    from euler_tpu import knn as knn_mod
+    emb = np.random.default_rng(2).normal(size=(50, 4)).astype(np.float32)
+    np.save(tmp_path / "emb.npy", emb)
+    out = tmp_path / "res.npz"
+    knn_mod.main(["--embedding_file", str(tmp_path / "emb.npy"),
+                  "--k", "5", "--out", str(out)])
+    res = np.load(out)
+    assert res["idx"].shape == (25, 5)
+
+
+def test_graph_config_parse():
+    c = GraphConfig("mode=local;num_retries=3;ratio=0.5;flag=true")
+    assert c.get_string("mode") == "local"
+    assert c.get_int("num_retries") == 3
+    assert c.get_float("ratio") == 0.5
+    assert c.get_bool("flag") is True
+    assert c.get_int("missing", 7) == 7
+    assert "mode" in c
+    c2 = GraphConfig({"a": 1})
+    assert c2.get_int("a") == 1
+    with pytest.raises(ValueError):
+        GraphConfig("noequals")
+
+
+def test_run_flags_defaults():
+    args = define_run_flags().parse_args([])
+    assert args.run_mode == "train" and args.optimizer == "adam"
+
+
+@pytest.mark.parametrize("name", ["cora", "ppi", "fb15k", "ml_1m"])
+def test_registry_synthetic_fallback(name, tmp_path):
+    from euler_tpu.datasets import get_dataset
+    ds = get_dataset(name, str(tmp_path))
+    g = ds.load_graph()
+    assert g.meta.n_nodes > 0
+    assert len(ds.test_ids) >= 0
+    if name == "fb15k":
+        assert ds.test_triples.shape[1] == 3
+
+
+def test_registry_cora_raw_parse(tmp_path):
+    # minimal cora.content/cites fixture exercises the real parser
+    raw = tmp_path / "cora"
+    os.makedirs(raw)
+    with open(raw / "cora.content", "w") as f:
+        f.write("p1\t1\t0\t1\tml\n")
+        f.write("p2\t0\t1\t0\tdb\n")
+        f.write("p3\t1\t1\t0\tml\n")
+    with open(raw / "cora.cites", "w") as f:
+        f.write("p1\tp2\np2\tp3\npX\tp1\n")   # pX unknown -> dropped
+    from euler_tpu.datasets import get_dataset
+    ds = get_dataset("cora", str(tmp_path))
+    g = ds.load_graph()
+    assert g.meta.n_nodes == 3
+    assert ds.feature_dim == 3 and ds.label_dim == 2
+    assert g.tensors.n_edges == 4  # two cites, both directions
+
+
+def test_profiler_hook(tmp_path):
+    import jax
+    import jax.numpy as jnp
+    from euler_tpu.utils.hooks import ProfilerHook
+    h = ProfilerHook(str(tmp_path / "prof"), start=1, steps=1)
+    for step in range(1, 4):
+        jnp.zeros(4).block_until_ready()
+        h(step)
+    h.close()
+    assert os.path.isdir(tmp_path / "prof")
+
+
+def test_unknown_dataset():
+    from euler_tpu.datasets import get_dataset
+    with pytest.raises(KeyError):
+        get_dataset("nope")
