@@ -56,7 +56,6 @@ def main():
 
     # graph passed as a jit argument — closure capture would embed it as
     # program constants (catastrophic compile + dispatch cost)
-    @jax.jit
     def step(g, params, opt_state, key):
         kb, ks = jax.random.split(key)
         roots = sampling.sample_node(g, kb, batch, -1)
@@ -68,23 +67,43 @@ def main():
         updates, opt_state2 = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state2, loss
 
+    # the whole training loop lives on-device (lax.scan of optimizer
+    # steps), the idiomatic JAX pattern; a python-driven per-step loop
+    # would measure host->device dispatch latency, not the framework
+    steps_per_loop = 50 if on_tpu else 5
+
+    @jax.jit
+    def run_loop(g, params, opt_state, key):
+        def body(carry, i):
+            params, opt_state = carry
+            p2, o2, loss = step(g, params, opt_state,
+                                jax.random.fold_in(key, i))
+            return (p2, o2), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state),
+            jnp.arange(steps_per_loop, dtype=jnp.int32))
+        return params, opt_state, losses[-1]
+
     # edges touched per step: hop1 B*f1 + hop2 B*f1*f2, plus self loops
     edges_per_step = batch * fanout[0] + batch * fanout[0] * fanout[1] \
         + batch + batch * fanout[0]
 
-    # warmup/compile
-    params, opt_state, loss = step(g, params, opt_state,
-                                   jax.random.PRNGKey(2))
-    jax.block_until_ready(loss)
+    # warmup/compile. NB: sync via float(loss) (device->host copy), not
+    # block_until_ready — on tunneled device platforms the latter can
+    # return before execution finishes, inflating throughput ~100x.
+    params, opt_state, loss = run_loop(g, params, opt_state,
+                                       jax.random.PRNGKey(2))
+    float(loss)
 
-    iters = 50 if on_tpu else 10
+    outer = 4 if on_tpu else 2
     t0 = time.perf_counter()
-    for i in range(iters):
-        params, opt_state, loss = step(g, params, opt_state,
-                                       jax.random.PRNGKey(3 + i))
-    jax.block_until_ready(loss)
+    for i in range(outer):
+        params, opt_state, loss = run_loop(g, params, opt_state,
+                                           jax.random.PRNGKey(3 + i))
+    float(loss)
     dt = time.perf_counter() - t0
-    edges_per_sec = edges_per_step * iters / dt
+    edges_per_sec = edges_per_step * steps_per_loop * outer / dt
 
     print(json.dumps({
         "metric": "sampled_aggregate_edges_per_sec_per_chip",

@@ -53,6 +53,10 @@ class RunConfig:
     profile: bool = False        # jax.profiler trace of steps 10-20
     profile_dir: str = "prof_dir"  # (reference: ProfilerHook
     # base_estimator.py:130-134)
+    steps_per_loop: int = 1      # >1: lax.scan that many optimizer steps
+    # inside one device program. Amortizes host->device dispatch (the
+    # tunneled-TPU analog of the reference's per-batch RPC overhead);
+    # log/save/profile granularity rounds to loop boundaries.
 
 
 class BaseEstimator:
@@ -173,6 +177,21 @@ class BaseEstimator:
             return (optax.apply_updates(params, updates), new_state,
                     opt_state2, loss)
 
+        spl = max(1, int(cfg.steps_per_loop))
+
+        @jax.jit
+        def run_loop(g, params, state, opt_state, key):
+            def body(carry, i):
+                params, state, opt_state = carry
+                params, state, opt_state, loss = step(
+                    g, params, state, opt_state, jax.random.fold_in(key, i))
+                return (params, state, opt_state), loss
+
+            (params, state, opt_state), losses = jax.lax.scan(
+                body, (params, state, opt_state),
+                jnp.arange(spl, dtype=jnp.int32))
+            return params, state, opt_state, losses[-1]
+
         profiler = None
         if cfg.profile:
             from euler_tpu.utils.hooks import ProfilerHook
@@ -181,20 +200,28 @@ class BaseEstimator:
         key = jax.random.PRNGKey(cfg.seed + 1)
         t0 = time.time()
         last_loss = float("nan")
-        for i in range(total):
+        i = 0
+        while i < total:
             key, sub = jax.random.split(key)
-            params, state, opt_state, loss = step(g, params, state,
-                                                  opt_state, sub)
+            if spl > 1 and i + spl <= total:
+                params, state, opt_state, loss = run_loop(
+                    g, params, state, opt_state, sub)
+                i += spl
+            else:
+                params, state, opt_state, loss = step(g, params, state,
+                                                      opt_state, sub)
+                i += 1
             if profiler is not None:
-                profiler(i + 1)
-            if cfg.log_steps and (i + 1) % cfg.log_steps == 0:
+                profiler(i)
+            if cfg.log_steps and i % max(cfg.log_steps, 1) < max(spl, 1):
                 last_loss = float(loss)
-                rate = (i + 1) * cfg.batch_size / (time.time() - t0)
-                log_fn(f"[euler_tpu] step {i + 1}/{total} "
+                rate = i * cfg.batch_size / (time.time() - t0)
+                log_fn(f"[euler_tpu] step {i}/{total} "
                        f"loss={last_loss:.4f} ({rate:.0f} ex/s)")
-            if cfg.save_steps and (i + 1) % cfg.save_steps == 0:
+            if cfg.save_steps and i % cfg.save_steps < max(spl, 1) \
+                    and i >= cfg.save_steps:
                 self._params = self._merge_vars(params, state)
-                self._save(i + 1)
+                self._save(i)
         if profiler is not None:
             profiler.close()
         self._params = self._merge_vars(params, state)

@@ -33,7 +33,7 @@ from flax import struct
 
 from euler_tpu.graph import convert as _convert
 from euler_tpu.graph.meta import BINARY, DENSE, SPARSE, GraphMeta
-from euler_tpu.ops.alias import build_typed_alias_tables
+from euler_tpu.ops.alias import build_group_alias, build_typed_alias_tables
 
 
 def string_hash32(s: str) -> int:
@@ -102,6 +102,22 @@ class GraphTensors:
     in_adj_eid: Optional[jnp.ndarray] = None
     in_group_w_sum: Optional[jnp.ndarray] = None
 
+    # per-(node, edge_type)-group alias tables: O(1) weighted neighbor
+    # draws (2 random reads) instead of the O(log E) searchsorted chain;
+    # alias values are within-group slots (ops/alias.build_group_alias)
+    adj_prob: Optional[jnp.ndarray] = None     # f32   [E]
+    adj_alias: Optional[jnp.ndarray] = None    # int32 [E]
+    in_adj_prob: Optional[jnp.ndarray] = None
+    in_adj_alias: Optional[jnp.ndarray] = None
+
+    # interleaved hot-path packs: a random 4-byte gather costs a full HBM
+    # line per element, so the sampling verbs read one packed row instead
+    # of N parallel single-column gathers (~3x fewer random reads/draw)
+    group_pack: Optional[jnp.ndarray] = None   # int32 [N*ET, 2] (lo, hi)
+    alias_pack: Optional[jnp.ndarray] = None   # int32 [E, 2] (alias, prob bits)
+    adj_pack: Optional[jnp.ndarray] = None     # int32 [E, 4] (dst, type,
+    #                                            eid, weight bits)
+
     @property
     def n_nodes(self) -> int:
         return self.node_type.shape[0]
@@ -163,6 +179,7 @@ class Graph:
         node_alias_np = build_typed_alias_tables(node_type, node_w,
                                                  meta.num_node_types)
         edge_alias_np = build_typed_alias_tables(adj_type, adj_w, net)
+        adj_prob, adj_alias = build_group_alias(group_ptr, adj_w)
 
         # features (original-order for edges; node features sorted to local id)
         dense_nf, sparse_nf, self.binary_nf = {}, {}, {}
@@ -193,10 +210,12 @@ class Graph:
             iseg = np.repeat(np.arange(n * net), np.diff(ig_ptr))
             igws = np.zeros(n * net, np.float64)
             np.add.at(igws, iseg, i_w.astype(np.float64))
+            i_prob, i_alias = build_group_alias(ig_ptr, i_w)
             in_fields = dict(
                 in_group_ptr=ig_ptr, in_adj_src=i_col, in_adj_w=i_w,
                 in_adj_w_cumsum=i_cum, in_adj_eid=i_eid,
-                in_group_w_sum=igws.astype(np.float32).reshape(n, net))
+                in_group_w_sum=igws.astype(np.float32).reshape(n, net),
+                in_adj_prob=i_prob, in_adj_alias=i_alias)
 
         binary_hash = {
             name: np.asarray([string_hash32(v) for v in vals], np.int32)
@@ -239,6 +258,15 @@ class Graph:
             adj_type=put(adj_type),
             adj_w=put(adj_w),
             adj_w_cumsum=put(w_cum),
+            adj_prob=put(adj_prob),
+            adj_alias=put(adj_alias),
+            group_pack=put(np.stack(
+                [group_ptr[:-1], group_ptr[1:]], axis=1).astype(np.int32)),
+            alias_pack=put(np.stack(
+                [adj_alias, adj_prob.view(np.int32)], axis=1)),
+            adj_pack=put(np.stack(
+                [adj_dst, adj_type, adj_eid,
+                 adj_w.astype(np.float32).view(np.int32)], axis=1)),
             adj_eid=put(adj_eid),
             group_w_sum=put(group_w_sum),
             node_alias=put_alias(node_alias_np),

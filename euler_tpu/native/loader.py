@@ -43,7 +43,11 @@ def get_lib():
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_SO) and not _compile():
+        src = os.path.abspath(_SRC)
+        stale = (os.path.exists(_SO) and os.path.exists(src)
+                 and os.path.getmtime(src) > os.path.getmtime(_SO))
+        if (not os.path.exists(_SO) or stale) and not _compile() \
+                and not os.path.exists(_SO):
             return None
         try:
             lib = ctypes.CDLL(_SO)
@@ -57,6 +61,12 @@ def get_lib():
             i32, i32, i32, f32, i64, i64, i32, f32, f32, f32]
         lib.etpu_build_alias.restype = ctypes.c_int
         lib.etpu_build_alias.argtypes = [ctypes.c_int64, f32, f32, i32]
+        try:
+            lib.etpu_build_group_alias.restype = ctypes.c_int
+            lib.etpu_build_group_alias.argtypes = [
+                ctypes.c_int64, ctypes.c_int64, i64, f32, f32, i32]
+        except AttributeError:  # stale .so missing the symbol
+            pass
         _lib = lib
         return _lib
 
@@ -99,5 +109,21 @@ def build_alias_native(weights):
     prob = np.empty(n, np.float32)
     alias = np.empty(n, np.int32)
     if lib.etpu_build_alias(n, w, prob, alias) != 0:
+        return None
+    return prob, alias
+
+
+def build_group_alias_native(group_ptr, weights):
+    """Per-CSR-group alias tables (see etpu_build_group_alias); None when
+    the native lib is unavailable."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "etpu_build_group_alias"):
+        return None
+    gp = np.ascontiguousarray(group_ptr, np.int64)
+    w = np.ascontiguousarray(weights, np.float32)
+    m = len(w)
+    prob = np.empty(m, np.float32)
+    alias = np.empty(m, np.int32)
+    if lib.etpu_build_group_alias(len(gp) - 1, m, gp, w, prob, alias) != 0:
         return None
     return prob, alias

@@ -82,6 +82,52 @@ def build_typed_alias_tables(type_of: np.ndarray, weights: np.ndarray,
                 w_sum=w_sum)
 
 
+def build_group_alias(group_ptr: np.ndarray, weights: np.ndarray):
+    """Per-CSR-group alias tables: one Vose table per group segment.
+
+    Replaces the per-neighbor-group CDF sampler of the reference
+    (compact_weighted_collection.h:54-100) with O(1) alias draws — on
+    device a CDF draw is a log2(E) chain of random HBM reads
+    (searchsorted), while an alias draw is two. Returns
+    (prob f32 [E], alias int32 [E]); ``alias`` holds *within-group* slots.
+    """
+    gp = np.asarray(group_ptr, np.int64)
+    w = np.asarray(weights, np.float32)
+    from euler_tpu.native import loader as _native
+    res = _native.build_group_alias_native(gp, w)
+    if res is not None:
+        return res
+    m = len(w)
+    prob = np.ones(m, np.float32)
+    alias = np.zeros(m, np.int32)
+    for k in range(len(gp) - 1):
+        a, b = gp[k], gp[k + 1]
+        if b > a:
+            p, al = _vose(w[a:b].astype(np.float64))
+            prob[a:b] = p
+            alias[a:b] = al
+    return prob, alias
+
+
+def _vose(w: np.ndarray):
+    """Plain-python Vose build (fallback when the native core is absent)."""
+    n = len(w)
+    total = w.sum()
+    p = (w * (n / total)) if (np.isfinite(total) and total > 0) \
+        else np.ones(n)
+    prob = np.ones(n, np.float32)
+    alias = np.arange(n, dtype=np.int32)
+    small = [i for i in range(n) if p[i] < 1.0]
+    large = [i for i in range(n) if p[i] >= 1.0]
+    while small and large:
+        s, l = small.pop(), large.pop()
+        prob[s] = p[s]
+        alias[s] = l
+        p[l] = (p[l] + p[s]) - 1.0
+        (small if p[l] < 1.0 else large).append(l)
+    return prob, alias
+
+
 def alias_draw(key, prob, alias, segment_start, segment_size, shape):
     """Draw ``shape`` samples from the alias table segment.
 
@@ -97,5 +143,21 @@ def alias_draw(key, prob, alias, segment_start, segment_size, shape):
     idx = segment_start + slot
     keep = u2 < prob[idx]
     picked = jnp.where(keep, slot, alias[idx])
+    out = segment_start + picked
+    return jnp.where(segment_size > 0, out, -1).astype(jnp.int32)
+
+
+def alias_draw_packed(key, alias_pack, segment_start, segment_size, shape):
+    """alias_draw over the interleaved [n, 2] (alias, prob-bits) pack:
+    one random row read instead of two column gathers (random 4-byte
+    gathers each cost a full HBM line on TPU)."""
+    k1, k2 = jax.random.split(key)
+    u1 = jax.random.uniform(k1, shape)
+    u2 = jax.random.uniform(k2, shape)
+    size = jnp.maximum(segment_size, 1)
+    slot = jnp.minimum((u1 * size).astype(jnp.int32), size - 1)
+    row = alias_pack[segment_start + slot]           # [..., 2]
+    prob = jax.lax.bitcast_convert_type(row[..., 1], jnp.float32)
+    picked = jnp.where(u2 < prob, slot, row[..., 0])
     out = segment_start + picked
     return jnp.where(segment_size > 0, out, -1).astype(jnp.int32)

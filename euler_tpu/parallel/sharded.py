@@ -37,7 +37,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from euler_tpu.graph import convert as _convert
 from euler_tpu.graph.meta import DENSE, SPARSE, GraphMeta
 from euler_tpu.graph.store import AliasTables, Graph
-from euler_tpu.ops.alias import alias_draw, build_typed_alias_tables
+from euler_tpu.ops.alias import alias_draw, build_group_alias, \
+    build_typed_alias_tables
 
 Array = jnp.ndarray
 
@@ -58,6 +59,8 @@ class ShardedGraphTensors:
     adj_w_cumsum: Array     # [S, e_max]
     adj_eid: Array          # [S, e_max]  GLOBAL edge rows
     group_w_sum: Array      # [S, n_max, ET]
+    adj_prob: Array         # [S, e_max]  per-group alias tables
+    adj_alias: Array        # [S, e_max]  (within-group slots)
 
     node_alias: AliasTables     # per-shard stacked ([S, n_max] etc.)
     edge_alias: AliasTables     # per-shard stacked over local CSR slots
@@ -90,6 +93,8 @@ class ShardView:
     adj_w_cumsum: Array
     adj_eid: Array
     group_w_sum: Array
+    adj_prob: Array
+    adj_alias: Array
     node_alias: AliasTables
     edge_alias: AliasTables
     dense_nf: Dict[str, Array]
@@ -122,7 +127,8 @@ def build_sharded(graph: Graph, num_shards: int) -> ShardedGraphTensors:
 
     per = {k: [] for k in
            ("node_type", "node_w", "group_ptr", "adj_dst", "adj_type",
-            "adj_w", "adj_w_cumsum", "adj_eid", "group_w_sum")}
+            "adj_w", "adj_w_cumsum", "adj_eid", "group_w_sum",
+            "adj_prob", "adj_alias")}
     alias_n, alias_e = [], []
     dense_nf = {k: [] for k in g.dense_nf}
     sparse_nf = {k: [] for k in g.sparse_nf}
@@ -187,6 +193,10 @@ def build_sharded(graph: Graph, num_shards: int) -> ShardedGraphTensors:
         per["adj_eid"].append(pade(sh["eid"], -1))
         per["group_w_sum"].append(
             sh["gws"].astype(np.float32).reshape(n_max, ET))
+        gprob, galias = build_group_alias(sh["gp"].astype(np.int64),
+                                          sh["w"])
+        per["adj_prob"].append(pade(gprob, 1.0))
+        per["adj_alias"].append(pade(galias))
 
         na = build_typed_alias_tables(
             np.concatenate([node_type[own],
@@ -235,6 +245,8 @@ def build_sharded(graph: Graph, num_shards: int) -> ShardedGraphTensors:
         adj_w_cumsum=stack(per["adj_w_cumsum"]),
         adj_eid=stack(per["adj_eid"]),
         group_w_sum=stack(per["group_w_sum"]),
+        adj_prob=stack(per["adj_prob"]),
+        adj_alias=stack(per["adj_alias"]),
         node_alias=stack_alias(alias_n),
         edge_alias=stack_alias(alias_e),
         dense_nf={k: stack(v) for k, v in dense_nf.items()},
@@ -266,6 +278,7 @@ def to_view(sg_block: "ShardedGraphTensors", axis: str) -> ShardView:
         adj_type=sq(sg_block.adj_type), adj_w=sq(sg_block.adj_w),
         adj_w_cumsum=sq(sg_block.adj_w_cumsum),
         adj_eid=sq(sg_block.adj_eid), group_w_sum=sq(sg_block.group_w_sum),
+        adj_prob=sq(sg_block.adj_prob), adj_alias=sq(sg_block.adj_alias),
         node_alias=AliasTables(*[sq(x) for x in (
             sg_block.node_alias.ids, sg_block.node_alias.type_ptr,
             sg_block.node_alias.prob, sg_block.node_alias.alias,
@@ -349,12 +362,10 @@ def sample_neighbor_sharded(view: ShardView, key, nodes, ets, count,
     etype = et_arr[t_idx]
 
     lo, hi = _group_bounds_local(view, rows[:, None], etype)
-    w_lo = jnp.where(lo > 0, view.adj_w_cumsum[jnp.maximum(lo - 1, 0)], 0.0)
-    w_hi = jnp.where(hi > 0, view.adj_w_cumsum[jnp.maximum(hi - 1, 0)], 0.0)
-    u = jax.random.uniform(kd, (B, count))
-    target = w_lo + u * (w_hi - w_lo)
-    slot = jnp.searchsorted(view.adj_w_cumsum, target, side="left")
-    slot = jnp.clip(slot, lo, jnp.maximum(hi - 1, 0)).astype(jnp.int32)
+    # O(1) per-group alias draw (see ops/sampling._weighted_group_draw)
+    slot = alias_draw(kd, view.adj_prob, view.adj_alias, lo, hi - lo,
+                      (B, count))
+    slot = jnp.maximum(slot, 0)
     ok = owned[:, None] & (hi > lo) & (total > 0)[:, None]
     s = jnp.clip(slot, 0, view.adj_dst.shape[0] - 1)
     nbr = jnp.where(ok, view.adj_dst[s], default_id)
