@@ -36,6 +36,33 @@ from euler_tpu.graph.meta import BINARY, DENSE, SPARSE, GraphMeta
 from euler_tpu.ops.alias import build_group_alias, build_typed_alias_tables
 
 
+def _adj_pack_np(adj_dst, adj_type, adj_eid, adj_w):
+    """Interleaved (dst, type, eid, weight-bits) int32 rows."""
+    return np.stack(
+        [adj_dst.astype(np.int32), adj_type.astype(np.int32),
+         adj_eid.astype(np.int32),
+         adj_w.astype(np.float32).view(np.int32)], axis=1)
+
+
+def _sample_pack_np(group_ptr, prob, alias, adj_pack):
+    """Fused alias-draw rows (see GraphTensors.sample_pack).
+
+    ``alias`` holds within-group slots; resolve to global CSR slots via
+    each slot's group start, then inline both candidate payloads so a
+    weighted draw needs exactly one random row read.
+    """
+    gp = np.asarray(group_ptr, np.int64)
+    e = adj_pack.shape[0]
+    seg = np.repeat(np.arange(len(gp) - 1), np.diff(gp))
+    start = gp[seg]                                  # group start per slot
+    alias_global = (start + np.asarray(alias, np.int64)).astype(np.int64)
+    out = np.empty((e, 9), np.int32)
+    out[:, 0] = np.asarray(prob, np.float32).view(np.int32)
+    out[:, 1:5] = adj_pack
+    out[:, 5:9] = adj_pack[alias_global] if e else adj_pack
+    return out
+
+
 def string_hash32(s: str) -> int:
     """Deterministic FNV-1a 32-bit string hash (host + trace time).
     Plays the role of the reference's exported py_hash64
@@ -110,13 +137,18 @@ class GraphTensors:
     in_adj_prob: Optional[jnp.ndarray] = None
     in_adj_alias: Optional[jnp.ndarray] = None
 
-    # interleaved hot-path packs: a random 4-byte gather costs a full HBM
-    # line per element, so the sampling verbs read one packed row instead
-    # of N parallel single-column gathers (~3x fewer random reads/draw)
+    # interleaved hot-path packs: a random row gather costs ~10ns/row on
+    # TPU regardless of row width (latency-bound, measured), so the
+    # sampling verbs read ONE packed row per draw instead of N parallel
+    # single-column gathers.
     group_pack: Optional[jnp.ndarray] = None   # int32 [N*ET, 2] (lo, hi)
-    alias_pack: Optional[jnp.ndarray] = None   # int32 [E, 2] (alias, prob bits)
     adj_pack: Optional[jnp.ndarray] = None     # int32 [E, 4] (dst, type,
     #                                            eid, weight bits)
+    # the fused alias-draw row: prob_bits | payload-if-kept (dst,type,eid,
+    # w_bits) | payload-if-aliased. A weighted neighbor draw = one uniform
+    # pair + ONE random row read (the alias indirection is pre-resolved at
+    # build time) — vs 2 dependent reads (alias row, then payload row)
+    sample_pack: Optional[jnp.ndarray] = None  # int32 [E, 9]
 
     @property
     def n_nodes(self) -> int:
@@ -262,11 +294,10 @@ class Graph:
             adj_alias=put(adj_alias),
             group_pack=put(np.stack(
                 [group_ptr[:-1], group_ptr[1:]], axis=1).astype(np.int32)),
-            alias_pack=put(np.stack(
-                [adj_alias, adj_prob.view(np.int32)], axis=1)),
-            adj_pack=put(np.stack(
-                [adj_dst, adj_type, adj_eid,
-                 adj_w.astype(np.float32).view(np.int32)], axis=1)),
+            adj_pack=put(_adj_pack_np(adj_dst, adj_type, adj_eid, adj_w)),
+            sample_pack=put(_sample_pack_np(
+                group_ptr, adj_prob, adj_alias,
+                _adj_pack_np(adj_dst, adj_type, adj_eid, adj_w))),
             adj_eid=put(adj_eid),
             group_w_sum=put(group_w_sum),
             node_alias=put_alias(node_alias_np),

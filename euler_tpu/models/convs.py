@@ -28,17 +28,13 @@ from euler_tpu.ops import mp_ops
 Array = jnp.ndarray
 
 
-def _deg_inv_sqrt(edge_index, size, mask):
+def _deg_inv_sqrt(block: Block):
     """Symmetric GCN normalization from masked edge counts
     (reference: gcn_conv.py:38-46 norm)."""
-    ew = jnp.ones((edge_index.shape[1], 1), jnp.float32)
-    if mask is not None:
-        ew = ew * mask[:, None]
-    out = []
-    for i in (0, 1):
-        deg = mp_ops.scatter_add(ew, edge_index[i], size[i])
-        out.append(jnp.where(deg > 0, deg, 1.0) ** -0.5)
-    return tuple(out)
+    ew = jnp.ones((block.edge_index.shape[1], 1), jnp.float32)
+    deg_t = block.scatter("add", ew, block.mask)
+    deg_s = block.scatter_src_add(ew, block.mask)
+    return tuple(jnp.where(d > 0, d, 1.0) ** -0.5 for d in (deg_t, deg_s))
 
 
 def _masked(messages, mask):
@@ -52,12 +48,12 @@ class GCNConv(nn.Module):
     @nn.compact
     def __call__(self, x, block: Block):
         x_tgt, x_src = x
-        ei, size, mask = block.edge_index, block.size, block.mask
-        norm_i, norm_j = _deg_inv_sqrt(ei, size, mask)
-        xj = mp_ops.gather(x_src, ei[1])
-        ni = mp_ops.gather(norm_i, ei[0])
-        nj = mp_ops.gather(norm_j, ei[1])
-        out = mp_ops.scatter_add(_masked(ni * nj * xj, mask), ei[0], size[0])
+        mask = block.mask
+        norm_i, norm_j = _deg_inv_sqrt(block)
+        xj = block.gather_src(x_src)
+        ni = block.gather_tgt(norm_i)
+        nj = block.gather_src(norm_j)
+        out = block.scatter("add", _masked(ni * nj * xj, mask), None)
         return nn.Dense(self.dim, use_bias=False)(out)
 
 
@@ -68,9 +64,8 @@ class SAGEConv(nn.Module):
     @nn.compact
     def __call__(self, x, block: Block):
         x_tgt, x_src = x
-        ei, size, mask = block.edge_index, block.size, block.mask
-        xj = mp_ops.gather(x_src, ei[1])
-        aggr = mp_ops.masked_scatter_("mean", xj, ei[0], size[0], mask)
+        xj = block.gather_src(x_src)
+        aggr = block.scatter("mean", xj, block.mask)
         return (nn.Dense(self.dim, use_bias=False)(x_tgt) +
                 nn.Dense(self.dim, use_bias=False)(aggr))
 
@@ -84,16 +79,17 @@ class GATConv(nn.Module):
     @nn.compact
     def __call__(self, x, block: Block):
         x_tgt, x_src = x
-        ei, size, mask = block.edge_index, block.size, block.mask
+        mask = block.mask
         fc = nn.Dense(self.dim, use_bias=False)
         h_tgt, h_src = fc(x_tgt), fc(x_src)
-        xi = mp_ops.gather(h_tgt, ei[0])
-        xj = mp_ops.gather(h_src, ei[1])
-        alpha = (nn.Dense(1, use_bias=False)(xi) +
-                 nn.Dense(1, use_bias=False)(xj))
+        # per-edge score a_i + a_j: project on the (much smaller) node sets
+        # and expand per edge (linear ops commute with the gather)
+        alpha = (block.gather_tgt(nn.Dense(1, use_bias=False)(h_tgt)) +
+                 block.gather_src(nn.Dense(1, use_bias=False)(h_src)))
         alpha = nn.leaky_relu(alpha)
-        alpha = mp_ops.masked_scatter_softmax(alpha, ei[0], size[0], mask)
-        out = mp_ops.scatter_add(xj * alpha, ei[0], size[0])
+        alpha = block.softmax(alpha, mask)
+        xj = block.gather_src(h_src)
+        out = block.scatter("add", xj * alpha, None)
         if self.improved:
             out = h_tgt + out
         return out
@@ -108,9 +104,8 @@ class GINConv(nn.Module):
     @nn.compact
     def __call__(self, x, block: Block):
         x_tgt, x_src = x
-        ei, size, mask = block.edge_index, block.size, block.mask
-        xj = mp_ops.gather(x_src, ei[1])
-        aggr = mp_ops.scatter_add(_masked(xj, mask), ei[0], size[0])
+        xj = block.gather_src(x_src)
+        aggr = block.scatter("add", xj, block.mask)
         if self.train_eps:
             eps = self.param("eps", lambda k: jnp.asarray([self.eps]))
         else:
@@ -126,16 +121,16 @@ class TAGConv(nn.Module):
     @nn.compact
     def __call__(self, x, block: Block):
         x_tgt, x_src = x
-        ei, size, mask = block.edge_index, block.size, block.mask
-        norm_i, norm_j = _deg_inv_sqrt(ei, size, mask)
-        ni = mp_ops.gather(norm_i, ei[0])
-        nj = mp_ops.gather(norm_j, ei[1])
+        size = block.size
+        norm_i, norm_j = _deg_inv_sqrt(block)
+        ni = block.gather_tgt(norm_i)
+        nj = block.gather_src(norm_j)
         xs = [x_tgt]
         cur_tgt, cur_src = x_tgt, x_src
         for _ in range(self.K):
-            xj = mp_ops.gather(cur_src, ei[1])
-            cur = mp_ops.scatter_add(_masked(ni * nj * xj, mask), ei[0],
-                                     size[0])
+            xj = block.gather_src(cur_src)
+            cur = block.scatter("add", _masked(ni * nj * xj, block.mask),
+                                None)
             xs.append(cur)
             # next hop propagates the filtered signal (targets prefix the
             # source set, so pad the remainder with the original sources)
@@ -153,15 +148,15 @@ class SGCNConv(nn.Module):
     @nn.compact
     def __call__(self, x, block: Block):
         x_tgt, x_src = x
-        ei, size, mask = block.edge_index, block.size, block.mask
-        norm_i, norm_j = _deg_inv_sqrt(ei, size, mask)
-        ni = mp_ops.gather(norm_i, ei[0])
-        nj = mp_ops.gather(norm_j, ei[1])
+        size = block.size
+        norm_i, norm_j = _deg_inv_sqrt(block)
+        ni = block.gather_tgt(norm_i)
+        nj = block.gather_src(norm_j)
         cur_tgt, cur_src = x_tgt, x_src
         for _ in range(self.K):
-            xj = mp_ops.gather(cur_src, ei[1])
-            cur_tgt = mp_ops.scatter_add(_masked(ni * nj * xj, mask), ei[0],
-                                         size[0])
+            xj = block.gather_src(cur_src)
+            cur_tgt = block.scatter("add", _masked(ni * nj * xj, block.mask),
+                                    None)
             cur_src = jnp.concatenate(
                 [cur_tgt, cur_src[size[0]:]], axis=0) \
                 if size[1] > size[0] else cur_tgt
@@ -175,14 +170,13 @@ class AGNNConv(nn.Module):
     @nn.compact
     def __call__(self, x, block: Block):
         x_tgt, x_src = x
-        ei, size, mask = block.edge_index, block.size, block.mask
         beta = self.param("beta", lambda k: jnp.asarray([1.0]))
-        ni = mp_ops.gather(_l2norm(x_tgt), ei[0])
-        nj = mp_ops.gather(_l2norm(x_src), ei[1])
-        xj = mp_ops.gather(x_src, ei[1])
+        ni = block.gather_tgt(_l2norm(x_tgt))
+        nj = block.gather_src(_l2norm(x_src))
+        xj = block.gather_src(x_src)
         alpha = jnp.sum(beta * (ni * nj), axis=-1, keepdims=True)
-        alpha = mp_ops.masked_scatter_softmax(alpha, ei[0], size[0], mask)
-        return mp_ops.scatter_add(xj * alpha, ei[0], size[0])
+        alpha = block.softmax(alpha, block.mask)
+        return block.scatter("add", xj * alpha, None)
 
 
 def _l2norm(v):
@@ -198,15 +192,15 @@ class APPNPConv(nn.Module):
     @nn.compact
     def __call__(self, x, block: Block):
         x_tgt, x_src = x
-        ei, size, mask = block.edge_index, block.size, block.mask
-        norm_i, norm_j = _deg_inv_sqrt(ei, size, mask)
-        ni = mp_ops.gather(norm_i, ei[0])
-        nj = mp_ops.gather(norm_j, ei[1])
+        size = block.size
+        norm_i, norm_j = _deg_inv_sqrt(block)
+        ni = block.gather_tgt(norm_i)
+        nj = block.gather_src(norm_j)
         out_tgt, out_src = x_tgt, x_src
         for _ in range(self.K):
-            xj = mp_ops.gather(out_src, ei[1])
-            aggr = mp_ops.scatter_add(_masked(ni * nj * xj, mask), ei[0],
-                                      size[0])
+            xj = block.gather_src(out_src)
+            aggr = block.scatter("add", _masked(ni * nj * xj, block.mask),
+                                 None)
             out_tgt = (1 - self.alpha) * aggr + self.alpha * x_tgt
             out_src = jnp.concatenate(
                 [out_tgt, out_src[size[0]:]], axis=0) \
@@ -221,10 +215,9 @@ class GraphConv(nn.Module):
     @nn.compact
     def __call__(self, x, block: Block):
         x_tgt, x_src = x
-        ei, size, mask = block.edge_index, block.size, block.mask
         h_src = nn.Dense(self.dim, use_bias=False)(x_src)
-        hj = mp_ops.gather(h_src, ei[1])
-        aggr = mp_ops.masked_scatter_("mean", hj, ei[0], size[0], mask)
+        hj = block.gather_src(h_src)
+        aggr = block.scatter("mean", hj, block.mask)
         return nn.Dense(self.dim, use_bias=True)(x_tgt) + aggr
 
 
@@ -238,10 +231,10 @@ class ARMAConv(nn.Module):
     @nn.compact
     def __call__(self, x, block: Block):
         x_tgt, x_src = x
-        ei, size, mask = block.edge_index, block.size, block.mask
-        norm_i, norm_j = _deg_inv_sqrt(ei, size, mask)
-        ni = mp_ops.gather(norm_i, ei[0])
-        nj = mp_ops.gather(norm_j, ei[1])
+        size = block.size
+        norm_i, norm_j = _deg_inv_sqrt(block)
+        ni = block.gather_tgt(norm_i)
+        nj = block.gather_src(norm_j)
         nW = 1 if self.shared_weights else self.T
         ws = [nn.Dense(self.K * self.dim, use_bias=False) for _ in range(nW)]
         vs = [nn.Dense(self.K * self.dim, use_bias=False) for _ in range(nW)]
@@ -250,9 +243,9 @@ class ARMAConv(nn.Module):
         for t in range(self.T):
             w = ws[0 if self.shared_weights else t]
             v = vs[0 if self.shared_weights else t]
-            xj = w(mp_ops.gather(cur_src, ei[1]))
-            aggr = mp_ops.scatter_add(_masked(ni * nj * xj, mask), ei[0],
-                                      size[0])
+            xj = block.gather_src(w(cur_src))
+            aggr = block.scatter("add", _masked(ni * nj * xj, block.mask),
+                                 None)
             out = nn.relu(aggr + v(x_tgt))
             cur_tgt = out
             cur_src = jnp.concatenate(
@@ -273,20 +266,21 @@ class DNAConv(nn.Module):
     @nn.compact
     def __call__(self, x, block: Block):
         x_tgt, x_src = x
-        ei, size, mask = block.edge_index, block.size, block.mask
+        mask = block.mask
         d = self.dim
         h = self.heads
         x_tgt = nn.Dense(d, use_bias=False)(x_tgt)
         x_src = nn.Dense(d, use_bias=False)(x_src)
-        q = nn.Dense(d)(mp_ops.gather(x_tgt, ei[0]))
-        k = nn.Dense(d)(mp_ops.gather(x_src, ei[1]))
-        v = nn.Dense(d)(mp_ops.gather(x_src, ei[1]))
+        # q/k/v are per-node linear maps: project then expand per edge
+        q = block.gather_tgt(nn.Dense(d)(x_tgt))
+        k = block.gather_src(nn.Dense(d)(x_src))
+        v = block.gather_src(nn.Dense(d)(x_src))
         dh = d // h
         score = jnp.sum(q.reshape(-1, h, dh) * k.reshape(-1, h, dh),
                         axis=-1) / jnp.sqrt(dh)  # [E, h]
-        alpha = mp_ops.masked_scatter_softmax(score, ei[0], size[0], mask)
+        alpha = block.softmax(score, mask)
         msg = (alpha[:, :, None] * v.reshape(-1, h, dh)).reshape(-1, d)
-        return mp_ops.masked_scatter_("mean", msg, ei[0], size[0], mask)
+        return block.scatter("mean", msg, mask)
 
 
 class GatedConv(nn.Module):
@@ -297,7 +291,7 @@ class GatedConv(nn.Module):
     @nn.compact
     def __call__(self, x, block: Block):
         x_tgt, x_src = x
-        ei, size, mask = block.edge_index, block.size, block.mask
+        size = block.size
         if x_tgt.shape[-1] != self.dim:
             proj = nn.Dense(self.dim, use_bias=False)
             x_tgt, x_src = proj(x_tgt), proj(x_src)
@@ -305,8 +299,8 @@ class GatedConv(nn.Module):
         gru = nn.GRUCell(features=self.dim)
         for i in range(self.processing_steps):
             fc = nn.Dense(self.dim, use_bias=False)
-            mj = mp_ops.gather(fc(h_src), ei[1])
-            aggr = mp_ops.scatter_add(_masked(mj, mask), ei[0], size[0])
+            mj = block.gather_src(fc(h_src))
+            aggr = block.scatter("add", mj, block.mask)
             h_tgt, _ = gru(h_tgt, aggr)
             h_src = jnp.concatenate([h_tgt, h_src[size[0]:]], axis=0) \
                 if size[1] > size[0] else h_tgt
@@ -322,7 +316,7 @@ class RelationConv(nn.Module):
     @nn.compact
     def __call__(self, x, block: Block, edge_attr: Array = None):
         x_tgt, x_src = x
-        ei, size, mask = block.edge_index, block.size, block.mask
+        ei, mask = block.edge_index, block.mask
         if edge_attr is None:
             if block.e_id is None:
                 raise ValueError("RelationConv needs edge_attr or e_id")
@@ -332,10 +326,23 @@ class RelationConv(nn.Module):
             "matrix", nn.initializers.variance_scaling(1.0, "fan_avg",
                                                        "truncated_normal"),
             (self.num_relations, self.dim, fea_dim))
-        xj = mp_ops.gather(x_src, ei[1])
-        rel_m = matrix[jnp.clip(edge_attr, 0, self.num_relations - 1)]
-        msg = jnp.einsum("edf,ef->ed", rel_m, xj)
-        aggr = mp_ops.masked_scatter_("mean", msg, ei[0], size[0], mask)
+        xj = block.gather_src(x_src)
+        attr = jnp.clip(edge_attr, 0, self.num_relations - 1)
+        # scatter is linear in the messages, so aggregate raw features per
+        # relation FIRST (R masked segment-sums over [E,f]), then apply the
+        # relation matrices to the [T,R,f] sums with one MXU einsum —
+        # never materializing [E,d] per-edge transformed messages R times
+        m = mask.astype(xj.dtype) if mask is not None else None
+        sums = []
+        for r in range(self.num_relations):
+            sel = (attr == r).astype(xj.dtype)
+            sel = sel * m if m is not None else sel
+            sums.append(block.scatter("add", xj * sel[:, None], None))
+        s = jnp.stack(sums, axis=1)                     # [T, R, f]
+        tot = jnp.einsum("trf,rdf->td", s, matrix)      # [T, d]
+        ones = jnp.ones((xj.shape[0], 1), xj.dtype)
+        cnt = block.scatter("add", ones, mask)          # valid-edge count
+        aggr = tot / jnp.maximum(cnt, 1e-7)             # masked-mean parity
         return nn.Dense(self.dim, use_bias=False)(x_tgt) + aggr
 
 

@@ -43,16 +43,15 @@ class GeniePathLazyNet(nn.Module):
             wsrc = nn.Dense(dim, use_bias=False, name=f"w_src_{i}")
             wdst = nn.Dense(dim, use_bias=False, name=f"w_dst_{i}")
             att = nn.Dense(1, use_bias=False, name=f"att_{i}")
-            hi = mp_ops.gather(wdst(x_tgt), ei[0])
-            hj = mp_ops.gather(wsrc(x), ei[1])
+            hi = block.gather_tgt(wdst(x_tgt))
+            hj = block.gather_src(wsrc(x))
             alpha = att(jnp.tanh(hi + hj))
-            alpha = mp_ops.masked_scatter_softmax(alpha, ei[0], size[0],
-                                                  mask)
-            msg = mp_ops.gather(x, ei[1]) * alpha
+            alpha = block.softmax(alpha, mask)
+            msg = block.gather_src(x) * alpha
             if mask is not None:
                 msg = msg * mask[:, None]
             aggr = jnp.tanh(nn.Dense(dim, name=f"b_fc_{i}")(
-                mp_ops.scatter_add(msg, ei[0], size[0])))
+                block.scatter("add", msg, None)))
             # depth: LSTM consumes the aggregated signal
             if carry is None:
                 zeros = jnp.zeros((size[0], dim))

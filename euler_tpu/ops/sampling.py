@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from euler_tpu.graph.store import GraphTensors
-from euler_tpu.ops.alias import alias_draw, alias_draw_packed
+from euler_tpu.ops.alias import alias_draw
 
 Array = jnp.ndarray
 
@@ -150,8 +150,6 @@ def _weighted_group_draw(g: GraphTensors, key, rows: Array, etype: Array,
     slot, -1 where empty.
     """
     lo, hi = _group_bounds(g, rows, etype)
-    if getattr(g, "alias_pack", None) is not None:
-        return alias_draw_packed(key, g.alias_pack, lo, hi - lo, shape)
     if getattr(g, "adj_prob", None) is not None:
         return alias_draw(key, g.adj_prob, g.adj_alias, lo, hi - lo, shape)
     w_lo = jnp.where(lo > 0, g.adj_w_cumsum[jnp.maximum(lo - 1, 0)], 0.0)
@@ -194,8 +192,29 @@ def sample_neighbor(g: GraphTensors, key, nodes: Array, edge_types,
     t_idx = jnp.minimum(t_idx, len(ets) - 1)
     etype = et_arr[t_idx]                                     # [B,count]
 
+    valid = (nodes >= 0)[:, None] & (total > 0)[:, None]
+    if getattr(g, "sample_pack", None) is not None:
+        lo, hi = _group_bounds(g, rows[:, None], etype)
+        size = hi - lo
+        k1, k2 = jax.random.split(kd)
+        u1 = jax.random.uniform(k1, (B, count))
+        u2 = jax.random.uniform(k2, (B, count))
+        slot = jnp.minimum((u1 * size).astype(jnp.int32),
+                           jnp.maximum(size - 1, 0))
+        row = g.sample_pack[lo + slot]                # ONE read per draw
+        prob = jax.lax.bitcast_convert_type(row[..., 0], jnp.float32)
+        keep = (u2 < prob)[..., None]
+        sel = jnp.where(keep, row[..., 1:5], row[..., 5:9])
+        ok = valid & (size > 0)
+        nbr = jnp.where(ok, sel[..., 0], default_id)
+        ty = jnp.where(ok, sel[..., 1], -1)
+        eid = jnp.where(ok, sel[..., 2], -1)
+        w = jnp.where(ok, jax.lax.bitcast_convert_type(sel[..., 3],
+                                                       jnp.float32), 0.0)
+        return nbr, w, ty, eid
+
     slot = _weighted_group_draw(g, kd, rows[:, None], etype, (B, count))
-    ok = (slot >= 0) & (nodes >= 0)[:, None] & (total > 0)[:, None]
+    ok = (slot >= 0) & valid
     s = jnp.maximum(slot, 0)
     return _fetch_slots(g, s, ok, default_id)
 
