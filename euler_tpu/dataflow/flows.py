@@ -27,14 +27,23 @@ class SageDataFlow:
     """Per-hop weighted neighbor sampling (GraphSAGE).
 
     reference: SageDataFlow (tf_euler/python/dataflow/sage_dataflow.py:24-50,
-    sample_neighbor per hop)."""
+    sample_neighbor per hop).
+
+    ``payload=False`` (default) samples over the packed fan rows
+    (sampling.sample_neighbor_fast — one row gather per frontier node):
+    blocks carry edge_weight = the 0/1 validity mask and e_id = -1.
+    ``payload=True`` uses the full verb so blocks carry true edge
+    weights/ids (needed by RGCN's relation_from_etype and edge features).
+    """
 
     def __init__(self, fanouts: Sequence[int], metapath,
-                 add_self_loops: bool = True, default_id: int = -1, **_):
+                 add_self_loops: bool = True, default_id: int = -1,
+                 payload: bool = False, **_):
         self.fanouts = list(fanouts)
         self.metapath = list(metapath)
         self.add_self_loops = add_self_loops
         self.default_id = default_id
+        self.payload = payload
 
     def __call__(self, g, key, roots: Array):
         roots = jnp.asarray(roots, jnp.int32).reshape(-1)
@@ -42,8 +51,14 @@ class SageDataFlow:
         cur = roots
         for ets, cnt in zip(self.metapath, self.fanouts):
             key, sub = jax.random.split(key)
-            nbr, w, _, eid = sampling.sample_neighbor(
-                g, sub, cur, ets, cnt, self.default_id)
+            if self.payload:
+                nbr, w, _, eid = sampling.sample_neighbor(
+                    g, sub, cur, ets, cnt, self.default_id)
+            else:
+                nbr, valid = sampling.sample_neighbor_fast(
+                    g, sub, cur, ets, cnt, self.default_id)
+                w = valid.astype(jnp.float32)
+                eid = jnp.full(nbr.shape, -1, jnp.int32)
             blk = fanout_block(cur, nbr, w, eid, cnt, self.add_self_loops)
             blocks.append(blk)
             cur = blk.n_id

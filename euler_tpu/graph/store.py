@@ -33,7 +33,8 @@ from flax import struct
 
 from euler_tpu.graph import convert as _convert
 from euler_tpu.graph.meta import BINARY, DENSE, SPARSE, GraphMeta
-from euler_tpu.ops.alias import build_group_alias, build_typed_alias_tables
+from euler_tpu.ops.alias import (build_fan_pack, build_group_alias,
+                                 build_typed_alias_tables)
 
 
 def _adj_pack_np(adj_dst, adj_type, adj_eid, adj_w):
@@ -149,6 +150,11 @@ class GraphTensors:
     # pair + ONE random row read (the alias indirection is pre-resolved at
     # build time) — vs 2 dependent reads (alias row, then payload row)
     sample_pack: Optional[jnp.ndarray] = None  # int32 [E, 9]
+
+    # per-(node, edge_type) packed alias rows: ONE row gather per frontier
+    # node serves all its draws (ops/alias.py FAN_* layout + rationale).
+    # The ids-only hot path of sample_neighbor/sample_fanout.
+    fan_pack: Optional[jnp.ndarray] = None     # int32 [N*ET, 128]
 
     @property
     def n_nodes(self) -> int:
@@ -298,6 +304,9 @@ class Graph:
             sample_pack=put(_sample_pack_np(
                 group_ptr, adj_prob, adj_alias,
                 _adj_pack_np(adj_dst, adj_type, adj_eid, adj_w))),
+            fan_pack=put(build_fan_pack(
+                group_ptr, adj_dst, adj_prob, adj_alias,
+                group_w_sum.reshape(-1))),
             adj_eid=put(adj_eid),
             group_w_sum=put(group_w_sum),
             node_alias=put_alias(node_alias_np),

@@ -45,6 +45,12 @@ class GNNNet(nn.Module):
     @nn.compact
     def __call__(self, g: GraphTensors, roots: Array) -> Array:
         key = self.make_rng("sample")
+        if self.relation_from_etype and \
+                getattr(self.flow, "payload", True) is False:
+            raise ValueError(
+                "relation_from_etype needs true edge ids: construct the "
+                "flow with payload=True (fast ids-only sampling carries "
+                "e_id=-1)")
         blocks = self.flow(g, key, roots)
         x = self.feature(g, blocks[0].n_id)
         for i, block in enumerate(blocks):
@@ -148,8 +154,8 @@ class UnsuperviseModel(nn.Module):
     def __call__(self, g: GraphTensors, roots: Array):
         ks, kn = jax.random.split(self.make_rng("sample"))
         B = roots.shape[0]
-        pos, _, _, _ = sampling.sample_neighbor(g, ks, roots,
-                                                self.edge_types, 1)
+        pos, _ = sampling.sample_neighbor_fast(g, ks, roots,
+                                               self.edge_types, 1)
         negs = sampling.sample_node(g, kn, B * self.num_negs,
                                     self.node_type).reshape(B, self.num_negs)
         emb = self.embedder(g, roots)                       # [B, D]

@@ -128,6 +128,100 @@ def _vose(w: np.ndarray):
     return prob, alias
 
 
+# --------------------------------------------------------------------------
+# per-group packed "fan rows": the hot-path neighbor-sampling layout.
+#
+# Measured on TPU v5e: a random row gather costs ~11ns regardless of row
+# width (latency-bound, up to 128 lanes), while in-register one-hot
+# selection over a fetched row is ~free. So the fastest possible weighted
+# neighbor draw packs a whole per-(node, edge_type) alias table into ONE
+# 128-lane row: sampling `count` neighbors of a node costs ONE row gather
+# (per frontier node) + `count` in-row one-hot picks, instead of one row
+# gather PER DRAW (the sample_pack path, kept for the exact full verbs).
+#
+# Row layout (int32 lanes):
+#   lane 0                      : effective degree (0 = empty group)
+#   lane 1                      : group weight-sum, f32 bits
+#   lanes  2..44  (FAN_D = 42)  : alias keep-probability, f32 bits
+#   lanes 44..86                : kept neighbor id per slot
+#   lanes 86..128               : alias neighbor id per slot
+#
+# Groups with degree <= FAN_D store their exact Vose alias table (draws are
+# exactly the reference's weighted-with-replacement distribution,
+# euler/core/graph/node.h:82). Larger groups store a RESERVOIR of FAN_D
+# i.i.d. draws from the exact distribution (prob=1): each runtime draw picks
+# uniformly among them, so the per-draw marginal stays exact, but draws
+# share the reservoir until it is refreshed (see store.Graph.refresh_fan_
+# reservoir / estimator RunConfig.reservoir_refresh).
+# --------------------------------------------------------------------------
+
+FAN_D = 42
+FAN_LANES = 128
+FAN_PROB_OFF = 2
+FAN_KEPT_OFF = FAN_PROB_OFF + FAN_D
+FAN_ALIAS_OFF = FAN_KEPT_OFF + FAN_D
+
+
+def build_fan_pack(group_ptr: np.ndarray, adj_dst: np.ndarray,
+                   prob: np.ndarray, alias: np.ndarray,
+                   group_w_sum: np.ndarray, seed: int = 0) -> np.ndarray:
+    """Build the [G, 128] fan rows from per-group alias tables.
+
+    group_ptr [G+1], adj_dst/prob/alias [E] (alias = within-group slots),
+    group_w_sum [G] f32. Returns int32 [G, FAN_LANES].
+    """
+    gp = np.asarray(group_ptr, np.int64)
+    G = len(gp) - 1
+    E = len(adj_dst)
+    deg = np.diff(gp)
+    adj_dst = np.asarray(adj_dst, np.int32)
+    pack = np.zeros((G, FAN_LANES), np.int32)
+    pack[:, 1] = np.asarray(group_w_sum, np.float32).reshape(-1).view(
+        np.int32)
+
+    seg = np.repeat(np.arange(G, dtype=np.int64), deg)
+    j = np.arange(E, dtype=np.int64) - gp[seg]
+
+    small = (deg <= FAN_D)
+    sel = small[seg]
+    rows, cols = seg[sel], j[sel]
+    pack[rows, FAN_PROB_OFF + cols] = np.asarray(prob, np.float32)[sel].view(
+        np.int32)
+    pack[rows, FAN_KEPT_OFF + cols] = adj_dst[sel]
+    alias_global = gp[seg] + np.asarray(alias, np.int64)
+    pack[rows, FAN_ALIAS_OFF + cols] = adj_dst[alias_global[sel]]
+    pack[small, 0] = deg[small]
+
+    big = np.nonzero(~small)[0]
+    if len(big):
+        pack[big] = _fan_reservoir_rows(
+            gp, adj_dst, prob, alias_global, big,
+            np.asarray(group_w_sum, np.float32).reshape(-1)[big],
+            np.random.default_rng(seed))
+    return pack
+
+
+def _fan_reservoir_rows(gp, adj_dst, prob, alias_global, big, w_sum, rng):
+    """FAN_D i.i.d. exact alias draws per overflow group (prob=1 rows)."""
+    n = len(big)
+    deg = (gp[big + 1] - gp[big])[:, None]
+    lo = gp[big][:, None]
+    u1 = rng.random((n, FAN_D))
+    u2 = rng.random((n, FAN_D))
+    s = np.minimum((u1 * deg).astype(np.int64), deg - 1)
+    idx = lo + s
+    keep = u2 < np.asarray(prob, np.float32)[idx]
+    res = np.where(keep, adj_dst[idx], adj_dst[alias_global[idx]])
+    rows = np.zeros((n, FAN_LANES), np.int32)
+    rows[:, 0] = FAN_D
+    rows[:, 1] = w_sum.view(np.int32)
+    rows[:, FAN_PROB_OFF:FAN_PROB_OFF + FAN_D] = \
+        np.float32(1.0).view(np.int32)
+    rows[:, FAN_KEPT_OFF:FAN_KEPT_OFF + FAN_D] = res
+    rows[:, FAN_ALIAS_OFF:FAN_ALIAS_OFF + FAN_D] = res
+    return rows
+
+
 def alias_draw(key, prob, alias, segment_start, segment_size, shape):
     """Draw ``shape`` samples from the alias table segment.
 

@@ -18,7 +18,8 @@ def main(argv=None):
     feat = encoders.ShallowEncoder(dense_names=(ds.feature_idx,))
     net = gnn.GNNNet(
         conv="relation", flow=flows.SageDataFlow(fanouts,
-                                                 [ets] * args.layers),
+                                                 [ets] * args.layers,
+                                                 payload=True),
         dims=tuple([args.hidden_dim] * (args.layers + 1)), feature=feat,
         conv_kwargs={"num_relations": graph.meta.num_edge_types},
         relation_from_etype=True)
