@@ -156,6 +156,11 @@ class GraphTensors:
     # The ids-only hot path of sample_neighbor/sample_fanout.
     fan_pack: Optional[jnp.ndarray] = None     # int32 [N*ET, 128]
 
+    # edge type per ORIGINAL edge row (adj_type is CSR-slot-ordered; eids
+    # returned by the sampling verbs are original rows — RGCN relation
+    # lookup must go through this table, ops/feature_ops.get_edge_type)
+    eid_type: Optional[jnp.ndarray] = None     # int32 [E]
+
     @property
     def n_nodes(self) -> int:
         return self.node_type.shape[0]
@@ -308,6 +313,7 @@ class Graph:
                 group_ptr, adj_dst, adj_prob, adj_alias,
                 group_w_sum.reshape(-1))),
             adj_eid=put(adj_eid),
+            eid_type=put(etype[eorder].astype(np.int32)),
             group_w_sum=put(group_w_sum),
             node_alias=put_alias(node_alias_np),
             edge_alias=put_alias(edge_alias_np),

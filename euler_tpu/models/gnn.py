@@ -57,8 +57,8 @@ class GNNNet(nn.Module):
             conv = self._make_conv(self.dims[i], i)
             x_tgt = x[: block.size[0]]
             if self.relation_from_etype:
-                eid = jnp.maximum(block.e_id, 0)
-                edge_attr = jnp.where(block.e_id >= 0, g.adj_type[eid], 0)
+                ty = feature_ops.get_edge_type(g, block.e_id)
+                edge_attr = jnp.maximum(ty, 0)
                 x = conv((x_tgt, x), block, edge_attr=edge_attr)
             else:
                 x = conv((x_tgt, x), block)

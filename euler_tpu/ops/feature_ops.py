@@ -58,14 +58,36 @@ def get_sparse_feature(g: GraphTensors, nodes: Array, names: Sequence[str]
 def get_edge_dense_feature(g: GraphTensors, eids: Array,
                            names: Sequence[str]) -> List[Array]:
     """reference: tf_euler.get_edge_dense_feature (feature_ops.py:170)."""
+    if hasattr(g, "axis") and hasattr(g, "shard_node_w"):
+        from euler_tpu.parallel import sharded
+        return sharded.get_edge_feature_sharded(g, eids, names, "dense")
     return [_take_rows(g.dense_ef[n], eids, 0.0) for n in names]
 
 
 def get_edge_sparse_feature(g: GraphTensors, eids: Array,
                             names: Sequence[str]):
+    if hasattr(g, "axis") and hasattr(g, "shard_node_w"):
+        from euler_tpu.parallel import sharded
+        return sharded.get_edge_feature_sharded(g, eids, names, "sparse")
     out = []
     for n in names:
         vals, _ = g.sparse_ef[n]
         ids = _take_rows(vals, eids, -1)
         out.append((ids, ids >= 0))
     return out
+
+
+def get_edge_type(g: GraphTensors, eids: Array) -> Array:
+    """Edge type of each (global) edge row; -1 for invalid eids.
+
+    The relation lookup of RGCN-style models. NB the CSR's ``adj_type`` is
+    slot-ordered — indexing it with the original edge rows the sampling
+    verbs return would permute relations; ``eid_type`` is the
+    original-row-ordered table (reference: edges carry their type in the
+    edge record, euler/core/graph/edge.h).
+    """
+    if hasattr(g, "axis") and hasattr(g, "shard_node_w"):
+        from euler_tpu.parallel import sharded
+        return sharded.get_edge_type_sharded(g, eids)
+    eids = jnp.asarray(eids, jnp.int32)
+    return jnp.where(eids >= 0, g.eid_type[jnp.maximum(eids, 0)], -1)

@@ -112,6 +112,10 @@ def sample_node_with_condition(g: GraphTensors, key, count: int,
     """Weighted node sampling restricted to the DNF-matching set
     (reference: sample_node_op.cc:65-103 index-backed conditional
     sampling)."""
+    if hasattr(g, "axis") and hasattr(g, "shard_node_w"):
+        from euler_tpu.parallel import sharded
+        return sharded.sample_node_with_condition_sharded(
+            g, key, count, dnf, node_type)
     mask = dnf_mask(g, dnf)
     if node_type != -1:
         if isinstance(node_type, str):
@@ -123,6 +127,9 @@ def sample_node_with_condition(g: GraphTensors, key, count: int,
 def query_index_ids(g: GraphTensors, dnf, cap: int):
     """Matching node ids, padded to ``cap`` with -1 (the reference's
     QueryIndex kernel, core/kernels/common.cc:79, returns the id set)."""
+    if hasattr(g, "axis") and hasattr(g, "shard_node_w"):
+        from euler_tpu.parallel import sharded
+        return sharded.query_index_ids_sharded(g, dnf, cap)
     mask = dnf_mask(g, dnf)
     order = jnp.argsort(~mask)  # matches first, stable
     ids = jnp.where(mask[order], order, -1)[:cap].astype(jnp.int32)

@@ -82,6 +82,9 @@ def sample_node_with_src(g: GraphTensors, key, src_nodes: Array,
     """For each src node, sample ``count`` nodes of the same node type
     (negative sampling; reference: tf_euler sample_ops.sample_node_with_src /
     API_SAMPLE_N_WITH_TYPES)."""
+    if _is_shard_view(g):
+        from euler_tpu.parallel import sharded
+        return sharded.sample_node_with_src_sharded(g, key, src_nodes, count)
     na = g.node_alias
     types = g.node_type[jnp.maximum(src_nodes, 0)]
     lo = na.type_ptr[types][:, None]
@@ -357,6 +360,10 @@ def get_full_neighbor(g: GraphTensors, nodes: Array, edge_types, cap: int,
     get_top_k_neighbor for that).
     """
     ets = _as_etypes(g, edge_types)
+    if _is_shard_view(g):
+        from euler_tpu.parallel import sharded
+        return sharded.get_full_neighbor_sharded(g, nodes, ets, cap,
+                                                 default_id, sorted_by_id)
     nodes = jnp.asarray(nodes, jnp.int32)
     B = nodes.shape[0]
     rows = jnp.maximum(nodes, 0)
@@ -482,6 +489,9 @@ def sparse_get_adj(g: GraphTensors, nodes: Array, nb_nodes: Array,
     dst-sorted CSR (the GetSortedFullNeighbor layout, node.h:96).
     """
     ets = _as_etypes(g, edge_types)
+    if _is_shard_view(g):
+        from euler_tpu.parallel import sharded
+        return sharded.sparse_get_adj_sharded(g, nodes, nb_nodes, ets)
     nodes = jnp.asarray(nodes, jnp.int32).reshape(-1)
     nb = jnp.asarray(nb_nodes, jnp.int32).reshape(-1)
     rows = jnp.maximum(nodes, 0)
@@ -518,6 +528,10 @@ def sample_graph_label(g: GraphTensors, key, count: int) -> Array:
 
     reference: API_SAMPLE_GRAPH_LABEL
     (euler/core/kernels/sample_graph_label_op.cc)."""
+    if _is_shard_view(g):
+        raise NotImplementedError(
+            "graph-label ops are not sharded: graph-classification sets "
+            "(mutag-scale) fit one chip; load the graph unsharded")
     G = g.graph_members.shape[0]
     return jax.random.randint(key, (count,), 0, G, dtype=jnp.int32)
 
@@ -529,6 +543,10 @@ def get_graph_by_label(g: GraphTensors, graph_idx: Array):
     SparseTensor graph->nodes; here (node_ids [B,maxN], mask [B,maxN],
     node_graph_idx [B*maxN]).
     """
+    if _is_shard_view(g):
+        raise NotImplementedError(
+            "graph-label ops are not sharded: graph-classification sets "
+            "(mutag-scale) fit one chip; load the graph unsharded")
     members = g.graph_members[graph_idx]          # [B, maxN]
     mask = members >= 0
     B, maxN = members.shape

@@ -34,6 +34,9 @@ def _is_neighbor(g: GraphTensors, src: Array, etypes, cand: Array) -> Array:
     (src, etype) group supports an O(log deg) search — the device analogue
     of the reference's sorted-merge in BuildWeights
     (random_walk_op.cc BuildWeights)."""
+    if hasattr(g, "axis") and hasattr(g, "shard_node_w"):
+        from euler_tpu.parallel import sharded
+        return sharded.is_neighbor_sharded(g, src, etypes, cand)
     found = jnp.zeros(src.shape, bool)
     for t in etypes:
         lo, hi = _group_bounds(g, src, jnp.int32(t))

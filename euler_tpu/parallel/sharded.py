@@ -69,6 +69,14 @@ class ShardedGraphTensors:
     sparse_nf: Dict[str, Tuple[Array, Array]]
     dense_ef: Dict[str, Array]              # [S, e_max, d] (local edge rows)
     sparse_ef: Dict[str, Tuple[Array, Array]]
+    binary_hash_nf: Dict[str, Array]        # [S, n_max] int32 hash columns
+
+    # global-eid -> local CSR slot lookup (edge features / edge types are
+    # queried by the global edge row the sampling verbs return):
+    # eid_sorted is each shard's owned global eids ascending (pad: INT32_MAX),
+    # eid_slot the matching local CSR slot.
+    eid_sorted: Array       # [S, e_max]
+    eid_slot: Array         # [S, e_max]
 
     # replicated (same on every shard): per-shard per-type weight sums for
     # proportional root sampling (query_proxy.cc:93-145)
@@ -101,12 +109,20 @@ class ShardView:
     sparse_nf: Dict[str, Tuple[Array, Array]]
     dense_ef: Dict[str, Array]
     sparse_ef: Dict[str, Tuple[Array, Array]]
+    binary_hash_nf: Dict[str, Array]
+    eid_sorted: Array
+    eid_slot: Array
     shard_node_w: Array
     shard_edge_w: Array
 
     @property
     def my_shard(self):
         return jax.lax.axis_index(self.axis)
+
+    @property
+    def n_nodes(self) -> int:
+        # local padded row count (predicate masks are per-shard local)
+        return self.node_type.shape[0]
 
 
 def build_sharded(graph: Graph, num_shards: int) -> ShardedGraphTensors:
@@ -128,20 +144,26 @@ def build_sharded(graph: Graph, num_shards: int) -> ShardedGraphTensors:
     per = {k: [] for k in
            ("node_type", "node_w", "group_ptr", "adj_dst", "adj_type",
             "adj_w", "adj_w_cumsum", "adj_eid", "group_w_sum",
-            "adj_prob", "adj_alias")}
+            "adj_prob", "adj_alias", "eid_sorted", "eid_slot")}
     alias_n, alias_e = [], []
     dense_nf = {k: [] for k in g.dense_nf}
     sparse_nf = {k: [] for k in g.sparse_nf}
     dense_ef = {k: [] for k in g.dense_ef}
     sparse_ef = {k: [] for k in g.sparse_ef}
+    binary_hash_nf = {k: [] for k in g.binary_hash_nf}
     shard_node_w = np.zeros((S, NT), np.float32)
     shard_edge_w = np.zeros((S, ET), np.float32)
+
+    # one-pass partition: node v lives on shard v % S, so edge ownership is
+    # a modulo, not a membership test (the reference's
+    # (id % partition_number) % shard_num routing, id_split_op.cc:46-48)
+    edge_shard = adj_src % S
 
     e_max = 0
     shards = []
     for s in range(S):
         own = np.where(np.arange(N) % S == s)[0]
-        esel = np.isin(adj_src, own)
+        esel = edge_shard == s
         # local rows: global id -> id // S; build local CSR over own nodes
         lsrc = adj_src[esel] // S
         (gp, col, w, cw, eid, perm) = _convert.build_csr(
@@ -198,6 +220,12 @@ def build_sharded(graph: Graph, num_shards: int) -> ShardedGraphTensors:
         per["adj_prob"].append(pade(gprob, 1.0))
         per["adj_alias"].append(pade(galias))
 
+        # global-eid -> local slot lookup (edge feature/type queries)
+        eorder = np.argsort(sh["eid"], kind="stable").astype(np.int32)
+        per["eid_sorted"].append(
+            pade(sh["eid"][eorder], np.iinfo(np.int32).max))
+        per["eid_slot"].append(pade(eorder))
+
         na = build_typed_alias_tables(
             np.concatenate([node_type[own],
                             np.full(n_max - n_local, NT, np.int32)]),
@@ -212,6 +240,8 @@ def build_sharded(graph: Graph, num_shards: int) -> ShardedGraphTensors:
 
         for k, v in g.dense_nf.items():
             dense_nf[k].append(padn(np.asarray(v)[own]))
+        for k, v in g.binary_hash_nf.items():
+            binary_hash_nf[k].append(padn(np.asarray(v)[own]))
         for k, (ids, ln) in g.sparse_nf.items():
             sparse_nf[k].append((padn(np.asarray(ids)[own], -1),
                                  padn(np.asarray(ln)[own])))
@@ -255,6 +285,9 @@ def build_sharded(graph: Graph, num_shards: int) -> ShardedGraphTensors:
         dense_ef={k: stack(v) for k, v in dense_ef.items()},
         sparse_ef={k: (stack([a for a, _ in v]), stack([b for _, b in v]))
                    for k, v in sparse_ef.items()},
+        binary_hash_nf={k: stack(v) for k, v in binary_hash_nf.items()},
+        eid_sorted=stack(per["eid_sorted"]),
+        eid_slot=stack(per["eid_slot"]),
         shard_node_w=jnp.asarray(shard_node_w),
         shard_edge_w=jnp.asarray(shard_edge_w),
     )
@@ -293,6 +326,10 @@ def to_view(sg_block: "ShardedGraphTensors", axis: str) -> ShardView:
         dense_ef={k: sq(v) for k, v in sg_block.dense_ef.items()},
         sparse_ef={k: (sq(a), sq(b))
                    for k, (a, b) in sg_block.sparse_ef.items()},
+        binary_hash_nf={k: sq(v)
+                        for k, v in sg_block.binary_hash_nf.items()},
+        eid_sorted=sq(sg_block.eid_sorted),
+        eid_slot=sq(sg_block.eid_slot),
         # replicated tables keep their full [S, ...] shape
         shard_node_w=sg_block.shard_node_w,
         shard_edge_w=sg_block.shard_edge_w,
@@ -500,3 +537,252 @@ def sample_edge_sharded(view: ShardView, key, count, edge_type=-1):
     ax = view.axis
     return (_combine_ids(mine, src, ax, -1), _combine_ids(mine, dst, ax, -1),
             _combine_ids(mine, ty, ax, -1), _combine_ids(mine, eid, ax, -1))
+
+
+def get_full_neighbor_sharded(view: ShardView, nodes, ets, cap,
+                              default_id=-1, sorted_by_id=False):
+    """Sharded GetFullNeighbor: spread roots, owner answers from its local
+    CSR, psum-merge (reference: GET_NB_NODE split/merge, optimizer.h:49-86).
+    """
+    nodes = jnp.asarray(nodes, jnp.int32)
+    b = nodes.shape[0]
+    alln = _spread(view, nodes)
+    owned, rows = _own_rows(view, alln)
+    B = alln.shape[0]
+    ET = view.meta.num_edge_types
+    et_arr = jnp.asarray(ets, jnp.int32)
+    gidx = rows[:, None] * ET + et_arr[None, :]
+    lo = view.group_ptr[gidx]
+    hi = view.group_ptr[gidx + 1]
+    deg = hi - lo
+    offs = jnp.concatenate(
+        [jnp.zeros((B, 1), deg.dtype), jnp.cumsum(deg, axis=1)], axis=1)
+    total = offs[:, -1]
+    j = jnp.arange(cap, dtype=jnp.int32)
+    k_idx = jnp.sum(j[None, :, None] >= offs[:, None, 1:], axis=-1)
+    k_idx = jnp.minimum(k_idx, len(ets) - 1)
+    base = jnp.take_along_axis(lo, k_idx, axis=1)
+    off_k = jnp.take_along_axis(offs[:, :-1], k_idx, axis=1)
+    slot = base + (j[None, :] - off_k)
+    ok = (j[None, :] < total[:, None]) & (alln >= 0)[:, None] & \
+        owned[:, None]
+    s = jnp.clip(slot, 0, view.adj_dst.shape[0] - 1)
+    nbr = jnp.where(ok, view.adj_dst[s], default_id)
+    w = jnp.where(ok, view.adj_w[s], 0.0)
+    ty = jnp.where(ok, view.adj_type[s], -1)
+    eid = jnp.where(ok, view.adj_eid[s], -1)
+    ax = view.axis
+    nbr = _take_mine(view, _combine_ids(ok, nbr, ax, default_id), b)
+    w = _take_mine(view, _combine(ok, w, ax), b)
+    ty = _take_mine(view, _combine_ids(ok, ty, ax, -1), b)
+    eid = _take_mine(view, _combine_ids(ok, eid, ax, -1), b)
+    okg = _take_mine(view, _psum(ok.astype(jnp.int32), ax), b) > 0
+    if sorted_by_id:
+        sort_key = jnp.where(okg, nbr, jnp.iinfo(jnp.int32).max)
+        order = jnp.argsort(sort_key, axis=1)
+        take = lambda x: jnp.take_along_axis(x, order, axis=1)
+        nbr, w, ty, eid, okg = (take(nbr), take(w), take(ty), take(eid),
+                                take(okg))
+    return nbr, w, ty, eid, okg
+
+
+def sample_node_with_src_sharded(view: ShardView, key, src, count):
+    """Same-type negative sampling under a mesh: resolve each src's type
+    from its owner, then proportional shard choice + per-shard typed alias
+    draw (query_proxy.cc:93-145 applied per row)."""
+    src = jnp.asarray(src, jnp.int32).reshape(-1)
+    b = src.shape[0]
+    alln = _spread(view, src)
+    owned, rows = _own_rows(view, alln)
+    ax = view.axis
+    t = _combine_ids(owned, jnp.where(owned, view.node_type[rows], -1),
+                     ax, -1)                                   # [S*b]
+    B = alln.shape[0]
+    S = view.num_shards
+    ks, kd = jax.random.split(key)
+    ts = jnp.maximum(t, 0)
+    w_shard = view.shard_node_w[:, ts].T                       # [B, S]
+    cdf_s = jnp.cumsum(w_shard, axis=1)
+    rs = jax.random.uniform(ks, (B, count)) * cdf_s[:, -1:]
+    shard_choice = jnp.minimum(
+        jnp.sum(rs[..., None] >= cdf_s[:, None, :], axis=-1),
+        S - 1).astype(jnp.int32)
+    na = view.node_alias
+    kd = jax.random.fold_in(kd, view.my_shard)
+    lo = na.type_ptr[ts][:, None]
+    size = (na.type_ptr[ts + 1] - na.type_ptr[ts])[:, None]
+    from euler_tpu.ops.alias import alias_draw as _ad
+    pos = _ad(kd, na.prob, na.alias, lo, size, (B, count))
+    local = jnp.where(pos >= 0, na.ids[jnp.maximum(pos, 0)], -1)
+    gid = jnp.where(local >= 0, local * S + view.my_shard, -1)
+    mine = (shard_choice == view.my_shard) & (t >= 0)[:, None]
+    out = _combine_ids(mine, gid, ax, -1)
+    return _take_mine(view, out, b)
+
+
+def sparse_get_adj_sharded(view: ShardView, nodes, nb_nodes, ets):
+    """Sharded bipartite adjacency: every shard answers the membership
+    tests for the rows it owns against each querying device's nb list."""
+    nodes = jnp.asarray(nodes, jnp.int32).reshape(-1)
+    nb = jnp.asarray(nb_nodes, jnp.int32).reshape(-1)
+    b, m = nodes.shape[0], nb.shape[0]
+    S = view.num_shards
+    alln = _spread(view, nodes)                    # [S*b]
+    allnb = _spread(view, nb).reshape(S, m)
+    owned, rows = _own_rows(view, alln)
+    B = alln.shape[0]
+    E = view.adj_dst.shape[0]
+    ET = view.meta.num_edge_types
+    # row i of the spread queries pairs with nb chunk i // b
+    tgt = jnp.broadcast_to(allnb[:, None, :], (S, b, m)).reshape(B, m)
+    conn = jnp.zeros((B, m), bool)
+    w = jnp.zeros((B, m), jnp.float32)
+    for et in ets:
+        gidx = rows * ET + et
+        lo = jnp.broadcast_to(view.group_ptr[gidx][:, None], (B, m))
+        hi = jnp.broadcast_to(view.group_ptr[gidx + 1][:, None], (B, m))
+
+        def body(_, carry):
+            l, h = carry
+            mid = (l + h) // 2
+            v = view.adj_dst[jnp.clip(mid, 0, E - 1)]
+            go_right = v < tgt
+            return jnp.where(go_right, mid + 1, l), \
+                jnp.where(go_right, h, mid)
+
+        l, h = jax.lax.fori_loop(0, 32, body, (lo, hi))
+        slot = jnp.clip(l, 0, E - 1)
+        hit = (l < hi) & (view.adj_dst[slot] == tgt) & \
+            (alln >= 0)[:, None] & (tgt >= 0) & owned[:, None]
+        conn = conn | hit
+        w = jnp.where(hit, view.adj_w[slot], w)
+    ax = view.axis
+    conn_g = _take_mine(view, _psum(conn.astype(jnp.int32), ax), b) > 0
+    w_g = _take_mine(view, _psum(w, ax), b)
+    return conn_g, jnp.where(conn_g, w_g, 0.0)
+
+
+def is_neighbor_sharded(view: ShardView, src, ets, cand):
+    """Membership test cand in N_etype(src) under a mesh (walk.py biased
+    node2vec step)."""
+    src = jnp.asarray(src, jnp.int32).reshape(-1)
+    cand = jnp.asarray(cand, jnp.int32).reshape(-1)
+    b = src.shape[0]
+    alls = _spread(view, src)
+    allc = _spread(view, cand)
+    owned, rows = _own_rows(view, alls)
+    E = view.adj_dst.shape[0]
+    ET = view.meta.num_edge_types
+    found = jnp.zeros(alls.shape, bool)
+    for et in ets:
+        gidx = rows * ET + et
+        lo, hi = view.group_ptr[gidx], view.group_ptr[gidx + 1]
+
+        def body(_, carry):
+            l, h = carry
+            mid = (l + h) // 2
+            v = view.adj_dst[jnp.clip(mid, 0, E - 1)]
+            go_right = v < allc
+            return jnp.where(go_right, mid + 1, l), \
+                jnp.where(go_right, h, mid)
+
+        l, h = jax.lax.fori_loop(0, 32, body, (lo, hi))
+        slot = jnp.clip(l, 0, E - 1)
+        hit = (l < hi) & (view.adj_dst[slot] == allc)
+        found = found | hit
+    found = found & owned & (alls >= 0) & (allc >= 0)
+    out = _take_mine(view, _psum(found.astype(jnp.int32), view.axis), b) > 0
+    return out
+
+
+def _eid_lookup_local(view: ShardView, eids):
+    """(found, local slot) of global edge rows on this shard."""
+    pos = jnp.searchsorted(view.eid_sorted, eids, side="left")
+    pos = jnp.clip(pos, 0, view.eid_sorted.shape[0] - 1).astype(jnp.int32)
+    found = (view.eid_sorted[pos] == eids) & (eids >= 0)
+    return found, view.eid_slot[pos]
+
+
+def get_edge_feature_sharded(view: ShardView, eids, names, kind):
+    """Sharded edge feature fetch by global edge row; kind in
+    {'dense','sparse'} (reference: remote GetEdgeFeature via the edge's
+    owning shard, get_feature_op.cc)."""
+    eids = jnp.asarray(eids, jnp.int32)
+    shape_in = eids.shape
+    flat_in = eids.reshape(-1)
+    b = flat_in.shape[0]
+    flat_all = _spread(view, flat_in)
+    found, slot = _eid_lookup_local(view, flat_all)
+    ax = view.axis
+    out = []
+    for n in names:
+        if kind == "dense":
+            tab = view.dense_ef[n]
+            v = jnp.where(found[:, None], tab[slot], 0.0)
+            v = _take_mine(view, _psum(v, ax), b)
+            out.append(v.reshape(shape_in + (tab.shape[-1],)))
+        else:
+            tab, _ = view.sparse_ef[n]
+            ids = jnp.where(found[:, None], tab[slot] + 1, 0)
+            ids = _take_mine(view, _psum(ids, ax), b) - 1
+            ids = ids.reshape(shape_in + (tab.shape[-1],))
+            out.append((ids, ids >= 0))
+    return out
+
+
+def get_edge_type_sharded(view: ShardView, eids):
+    """Edge type of global edge rows (RGCN relation lookup under a mesh)."""
+    eids = jnp.asarray(eids, jnp.int32)
+    shape_in = eids.shape
+    flat_in = eids.reshape(-1)
+    b = flat_in.shape[0]
+    flat_all = _spread(view, flat_in)
+    found, slot = _eid_lookup_local(view, flat_all)
+    ty = jnp.where(found, view.adj_type[slot] + 1, 0)
+    out = _take_mine(view, _psum(ty, view.axis), b) - 1
+    return out.reshape(shape_in)
+
+
+def sample_node_with_condition_sharded(view: ShardView, key, count, dnf,
+                                       node_type=-1):
+    """Conditional sampling under a mesh: local DNF mask + masked weights,
+    proportional shard choice over gathered totals, local masked-CDF draw
+    (reference: index-backed sample_node_op.cc:65-103 behind query_proxy
+    shard weighting)."""
+    from euler_tpu.ops import index as index_ops
+    mask = index_ops.dnf_mask(view, dnf)
+    if node_type != -1:
+        if isinstance(node_type, str):
+            node_type = view.meta.node_type_id(node_type)
+        mask = mask & (view.node_type == node_type)
+    mask = mask & (view.node_type >= 0)           # padding rows are -1
+    wloc = view.node_w * mask
+    tot = jnp.sum(wloc)
+    ks, kd = jax.random.split(key)
+    tots = jax.lax.all_gather(tot, view.axis)     # [S]
+    cdf = jnp.cumsum(tots)
+    r = jax.random.uniform(ks, (count,)) * cdf[-1]
+    shard_choice = jnp.minimum(
+        jnp.sum(r[:, None] >= cdf[None, :], axis=-1),
+        view.num_shards - 1).astype(jnp.int32)
+    kd = jax.random.fold_in(kd, view.my_shard)
+    local = index_ops.masked_weighted_sample(kd, wloc, count)
+    gid = jnp.where(local >= 0,
+                    local * view.num_shards + view.my_shard, -1)
+    mine = (shard_choice == view.my_shard) & (cdf[-1] > 0)
+    return _combine_ids(mine, gid, view.axis, -1)
+
+
+def query_index_ids_sharded(view: ShardView, dnf, cap):
+    """Matching global ids across shards, padded to cap with -1."""
+    from euler_tpu.ops import index as index_ops
+    mask = index_ops.dnf_mask(view, dnf) & (view.node_type >= 0)
+    n_max = mask.shape[0]
+    S = view.num_shards
+    gids = jnp.arange(n_max, dtype=jnp.int32) * S + view.my_shard
+    big = jnp.iinfo(jnp.int32).max
+    local = jnp.where(mask, gids, big)
+    allv = jax.lax.all_gather(local, view.axis).reshape(-1)
+    topv = jnp.sort(allv)[:cap]
+    ids = jnp.where(topv < big, topv, -1)
+    return ids, ids >= 0

@@ -156,3 +156,168 @@ def test_sharded_end_to_end_train_step(tmp_path):
                                            jax.random.PRNGKey(i))
             losses.append(float(loss))
     assert losses[-1] < losses[0], losses
+
+
+# ---------------------------------------------------------------------------
+# round-3 verb parity: sharded output == single-chip output on the toy graph
+# (VERDICT.md #2: every verb sharded-correct or loudly unimplemented)
+# ---------------------------------------------------------------------------
+
+ALL_NODES = list(range(8))
+
+
+def test_sharded_full_neighbor_matches(toy_graph, sg4, mesh24):
+    g = toy_graph.tensors
+    ets = tuple(range(len(toy_graph.meta.edge_types)))
+    nodes = jnp.asarray(ALL_NODES + [-1], jnp.int32)
+    want = [np.asarray(x) for x in sampling.get_full_neighbor(
+        g, nodes, ets, 6, sorted_by_id=True)]
+
+    def fn(view, nodes):
+        nbr, w, ty, eid, ok = sampling.get_full_neighbor(
+            view, nodes, ets, 6, sorted_by_id=True)
+        return nbr, w, ty, eid, ok
+
+    got = [np.asarray(x)[:9] for x in
+           _run_sharded(mesh24, sg4, fn, nodes)]
+    for a, b in zip(got, want):
+        np.testing.assert_allclose(a, b, rtol=1e-6)
+
+
+def test_sharded_top_k_neighbor_matches(toy_graph, sg4, mesh24):
+    g = toy_graph.tensors
+    ets = tuple(range(len(toy_graph.meta.edge_types)))
+    nodes = jnp.asarray(ALL_NODES, jnp.int32)
+    want = [np.asarray(x) for x in sampling.get_top_k_neighbor(
+        g, nodes, ets, 2)]
+
+    def fn(view, nodes):
+        return sampling.get_top_k_neighbor(view, nodes, ets, 2)
+
+    got = [np.asarray(x)[:8] for x in _run_sharded(mesh24, sg4, fn, nodes)]
+    # top-k by weight can tie; compare weights exactly, ids as sets per row
+    np.testing.assert_allclose(got[1], want[1], rtol=1e-6)
+    np.testing.assert_array_equal(got[4], want[4])
+    for r in range(8):
+        assert set(got[0][r]) == set(want[0][r])
+
+
+def test_sharded_sparse_get_adj_matches(toy_graph, sg4, mesh24):
+    g = toy_graph.tensors
+    ets = tuple(range(len(toy_graph.meta.edge_types)))
+    nodes = jnp.asarray(ALL_NODES, jnp.int32)
+    nb = jnp.asarray([1, 3, 5, 0, 7, -1], jnp.int32)
+    want_c, want_w = (np.asarray(x)
+                      for x in sampling.sparse_get_adj(g, nodes, nb, ets))
+
+    def fn(view, nodes, nb):
+        return sampling.sparse_get_adj(view, nodes, nb, ets)
+
+    got_c, got_w = (np.asarray(x)[:8]
+                    for x in _run_sharded(mesh24, sg4, fn, nodes, nb))
+    np.testing.assert_array_equal(got_c, want_c)
+    np.testing.assert_allclose(got_w, want_w, rtol=1e-6)
+
+
+def test_sharded_sample_node_with_src(toy_graph, sg4, mesh24):
+    g = toy_graph.tensors
+    src = jnp.asarray(ALL_NODES, jnp.int32)
+
+    def fn(view, src, key):
+        return sampling.sample_node_with_src(view, key, src, 16)
+
+    got = np.asarray(_run_sharded(mesh24, sg4, fn, src,
+                                  jax.random.PRNGKey(3)))[:8]
+    assert (got >= 0).all()
+    want_t = np.asarray(g.node_type)
+    got_t = want_t[got]
+    np.testing.assert_array_equal(got_t, np.broadcast_to(
+        want_t[np.asarray(src)][:, None], got.shape))
+
+
+def test_sharded_edge_features_and_type(toy_graph, sg4, mesh24):
+    from euler_tpu.ops import feature_ops
+    g = toy_graph.tensors
+    eids = jnp.asarray([0, 3, 7, 10, -1, 5], jnp.int32)
+    want_d = np.asarray(
+        feature_ops.get_edge_dense_feature(g, eids, ["edense"])[0])
+    want_sp, want_m = (np.asarray(x) for x in
+                       feature_ops.get_edge_sparse_feature(
+                           g, eids, ["esparse"])[0])
+    want_t = np.asarray(feature_ops.get_edge_type(g, eids))
+
+    def fn(view, eids):
+        d = feature_ops.get_edge_dense_feature(view, eids, ["edense"])[0]
+        sp, m = feature_ops.get_edge_sparse_feature(view, eids,
+                                                    ["esparse"])[0]
+        t = feature_ops.get_edge_type(view, eids)
+        return d, sp, m, t
+
+    d, sp, m, t = (np.asarray(x)[:6]
+                   for x in _run_sharded(mesh24, sg4, fn, eids))
+    np.testing.assert_allclose(d, want_d, rtol=1e-6)
+    np.testing.assert_array_equal(sp, want_sp)
+    np.testing.assert_array_equal(m, want_m)
+    np.testing.assert_array_equal(t, want_t)
+
+
+def test_sharded_index_ops(toy_graph, sg4, mesh24):
+    from euler_tpu.ops import index as index_ops
+    g = toy_graph.tensors
+    dnf = [[index_ops.Pred("price", "gt", 5.0)]]
+    want_ids, want_m = (np.asarray(x) for x in
+                        index_ops.query_index_ids(g, dnf, 8))
+
+    def fn_ids(view):
+        return index_ops.query_index_ids(view, dnf, 8)
+
+    ids, m = (np.asarray(x) for x in _run_sharded(mesh24, sg4, fn_ids))
+    assert set(ids[ids >= 0]) == set(want_ids[want_ids >= 0])
+
+    def fn_cond(view, key):
+        return index_ops.sample_node_with_condition(view, key, 256, dnf)
+
+    got = np.asarray(_run_sharded(mesh24, sg4, fn_cond,
+                                  jax.random.PRNGKey(4)))
+    assert (got >= 0).all()
+    assert set(got.tolist()) <= set(want_ids[want_ids >= 0].tolist())
+    # weighted: node weights are i+1
+    freq = np.bincount(got, minlength=8)[ids[ids >= 0]]
+    assert freq.sum() == 256
+
+
+def test_sharded_biased_walk_and_layer(toy_graph, sg4, mesh24):
+    from euler_tpu.ops import walk as walk_ops
+    ets = tuple(range(len(toy_graph.meta.edge_types)))
+    nodes = jnp.asarray(ALL_NODES, jnp.int32)
+
+    def fn_walk(view, nodes, key):
+        return walk_ops.random_walk(view, key, nodes, ets, 3, p=0.5, q=2.0)
+
+    paths = np.asarray(_run_sharded(mesh24, sg4, fn_walk, nodes,
+                                    jax.random.PRNGKey(5)))[:8]
+    # every consecutive (valid) pair must be a real edge
+    g = toy_graph.tensors
+    edge_set = {(int(s), int(d)) for s, d in
+                zip(np.asarray(g.adj_src), np.asarray(g.adj_dst))}
+    for row in paths:
+        for a, b in zip(row[:-1], row[1:]):
+            if a >= 0 and b >= 0:
+                assert (int(a), int(b)) in edge_set
+
+    def fn_layer(view, nodes, key):
+        return sampling.sample_layer(view, key, nodes, ets, 4, 8)
+
+    ids, w = (np.asarray(x) for x in _run_sharded(
+        mesh24, sg4, fn_layer, nodes, jax.random.PRNGKey(6)))
+    valid = ids[ids >= 0]
+    all_dst = set(np.asarray(g.adj_dst).tolist())
+    assert set(valid.tolist()) <= all_dst
+
+
+def test_sharded_graph_label_raises(toy_graph, sg4, mesh24):
+    def fn(view, key):
+        return sampling.sample_graph_label(view, key, 4)
+
+    with pytest.raises(NotImplementedError):
+        _run_sharded(mesh24, sg4, fn, jax.random.PRNGKey(0))
