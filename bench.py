@@ -1,4 +1,4 @@
-"""Benchmark: edges/s/chip on the GraphSAGE hot path + whole-graph SpMM.
+"""Benchmark: edges/s/chip on the GraphSAGE hot path.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
@@ -9,23 +9,52 @@ C++ graph engine + gRPC + TF CPU kernels; here it is one XLA program on
 the chip). BASELINE.json publishes no reference throughput, so
 vs_baseline is reported against a fixed nominal target of 1e8 edges/s
 (speed-of-light-ish for this op mix on one chip; >1.0 beats it).
+
+Wall-clock design: the bench runs on a tunneled device where host<->device
+bandwidth is erratic, so it minimizes bytes shipped to the chip:
+  * the store is built with device_put=False and only the packs the hot
+    path reads (fan_pack); jax.jit prunes unused args, so the untouched
+    CSR columns never cross the tunnel;
+  * node features/labels are synthesized ON DEVICE (the graph is random
+    anyway — topology statistics, not feature values, determine speed);
+  * the arrays the program does read are device_put exactly once;
+  * compiled programs persist across runs via the jax compilation cache.
+A SIGTERM handler reports the best measurement so far, so a driver-side
+timeout degrades the number instead of erasing it.
 """
 import json
+import os
+import signal
 import sys
 import time
 
-import numpy as np
+_result = {}
+
+
+def _emit_and_exit(*_):
+    if _result:
+        print(json.dumps(_result), flush=True)
+    os._exit(0 if _result else 1)
 
 
 def main():
+    signal.signal(signal.SIGTERM, _emit_and_exit)
+
     import jax
     import jax.numpy as jnp
     import optax
 
+    try:  # persistent compile cache: repeat runs skip XLA compilation
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/euler_tpu_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     from euler_tpu.dataflow import flows
     from euler_tpu.datasets.random_graph import random_graph
     from euler_tpu.models import encoders, gnn
-    from euler_tpu.ops import mp_ops, sampling
+    from euler_tpu.ops import sampling
 
     dev = jax.devices()[0]
     on_tpu = dev.platform != "cpu"
@@ -33,19 +62,51 @@ def main():
     n_nodes = 200_000 if on_tpu else 5_000
     avg_deg = 25
     feat_dim = 128
+    n_classes = 16
     batch = 1024 if on_tpu else 256
     fanout = [25, 10]
 
-    graph = random_graph(n_nodes, avg_deg, feat_dim=feat_dim, n_classes=16,
-                         seed=0)
+    graph = random_graph(n_nodes, avg_deg, seed=0, device_put=False,
+                         packs=("group", "fan"))
     g = graph.tensors
+
+    # declare the feature specs the model reads, synthesize values on device
+    import dataclasses
+
+    from euler_tpu.graph.meta import FeatureSpec
+    meta = dataclasses.replace(
+        g.meta,
+        node_features=(FeatureSpec("feature", "dense", feat_dim),
+                       FeatureSpec("label", "dense", n_classes)))
+
+    @jax.jit
+    def make_features():
+        kf, kl = jax.random.split(jax.random.PRNGKey(42))
+        feat = jax.random.normal(kf, (n_nodes, feat_dim), jnp.float32)
+        cls = jax.random.randint(kl, (n_nodes,), 0, n_classes)
+        lab = jax.nn.one_hot(cls, n_classes, dtype=jnp.float32)
+        return feat, lab
+
+    feat_dev, lab_dev = make_features()
+
+    put = jax.device_put
+    g = g.replace(
+        meta=meta,
+        dense_nf={"feature": feat_dev, "label": lab_dev},
+        fan_pack=put(g.fan_pack),
+        group_ptr=put(g.group_ptr),
+        adj_dst=put(g.adj_dst),
+        adj_prob=put(g.adj_prob),
+        adj_alias=put(g.adj_alias),
+        node_alias=jax.tree.map(put, g.node_alias),
+    )
 
     feat = encoders.ShallowEncoder(dense_names=("feature",))
     net = gnn.GNNNet(conv="sage",
                      flow=flows.SageDataFlow(fanout, [(0,), (0,)]),
                      dims=(128, 128), feature=feat)
     model = gnn.SuperviseModel(embedder=net, label_name="label",
-                               label_dim=16)
+                               label_dim=n_classes)
     tx = optax.adam(1e-3)
 
     roots0 = jnp.arange(batch, dtype=jnp.int32)
@@ -85,6 +146,8 @@ def main():
             jnp.arange(steps_per_loop, dtype=jnp.int32))
         return params, opt_state, losses[-1]
 
+    refresh = sampling.refresh_fan_pack  # jits its array-level core
+
     # edges touched per step: hop1 B*f1 + hop2 B*f1*f2, plus self loops
     edges_per_step = batch * fanout[0] + batch * fanout[0] * fanout[1] \
         + batch + batch * fanout[0]
@@ -97,20 +160,30 @@ def main():
     float(loss)
 
     outer = 4 if on_tpu else 2
+    done = 0
     t0 = time.perf_counter()
     for i in range(outer):
+        # unfreeze the fan reservoir each loop (RunConfig.reservoir_refresh
+        # semantics) — measured, so the refresh cost is part of the number
+        g = refresh(g, jax.random.fold_in(jax.random.PRNGKey(9), i))
         params, opt_state, loss = run_loop(g, params, opt_state,
                                            jax.random.PRNGKey(3 + i))
+        done += 1
+        if i == 0:
+            float(loss)  # sync so a partial-progress number is real
+            dt = time.perf_counter() - t0
+            v = edges_per_step * steps_per_loop * done / dt
+            _result.update(metric="sampled_aggregate_edges_per_sec_per_chip",
+                           value=round(v, 1), unit="edges/s",
+                           vs_baseline=round(v / 1e8, 4))
     float(loss)
     dt = time.perf_counter() - t0
-    edges_per_sec = edges_per_step * steps_per_loop * outer / dt
+    edges_per_sec = edges_per_step * steps_per_loop * done / dt
 
-    print(json.dumps({
-        "metric": "sampled_aggregate_edges_per_sec_per_chip",
-        "value": round(edges_per_sec, 1),
-        "unit": "edges/s",
-        "vs_baseline": round(edges_per_sec / 1e8, 4),
-    }))
+    _result.update(metric="sampled_aggregate_edges_per_sec_per_chip",
+                   value=round(edges_per_sec, 1), unit="edges/s",
+                   vs_baseline=round(edges_per_sec / 1e8, 4))
+    print(json.dumps(_result), flush=True)
 
 
 if __name__ == "__main__":

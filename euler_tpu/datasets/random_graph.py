@@ -16,7 +16,8 @@ from euler_tpu.graph.store import Graph
 def random_graph(n_nodes: int, avg_degree: int, feat_dim: int = 0,
                  n_classes: int = 0, num_edge_types: int = 1,
                  seed: int = 0, weighted: bool = True,
-                 build_in_edges: bool = False) -> Graph:
+                 build_in_edges: bool = False, device_put: bool = True,
+                 packs=Graph.ALL_PACKS) -> Graph:
     """Uniform random multigraph with optional dense features/labels."""
     rng = np.random.default_rng(seed)
     m = n_nodes * avg_degree
@@ -51,4 +52,4 @@ def random_graph(n_nodes: int, avg_degree: int, feat_dim: int = 0,
                                             range(num_edge_types)),
         node_features=tuple(node_features), edge_features=(),
         has_in_edges=build_in_edges)
-    return Graph(meta, arrays)
+    return Graph(meta, arrays, device_put=device_put, packs=packs)

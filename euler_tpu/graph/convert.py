@@ -162,10 +162,9 @@ def convert_json_graph(
         n_partitions=n_partitions,
     )
 
-    write_shards(
+    return write_shards(
         out_dir, meta, ext_ids, node_type, node_w, src, dst, etype, ew,
         nfeat, efeat)
-    return meta
 
 
 def build_csr(n, n_et, src, dst, etype, ew, eid=None):
@@ -206,11 +205,15 @@ def write_shards(out_dir, meta, ext_ids, node_type, node_w,
     (reference shard routing: (id % partition_number) % shard_num,
     euler/core/kernels/id_split_op.cc:46-48). Edges live with their source.
     """
+    import dataclasses
+
     os.makedirs(out_dir, exist_ok=True)
+    npart = meta.n_partitions
+    meta = dataclasses.replace(meta, part_edge_counts=tuple(
+        int(np.sum((src % npart) == p)) for p in range(npart)))
     with open(os.path.join(out_dir, META_FILE), "w") as f:
         f.write(meta.to_json())
 
-    npart = meta.n_partitions
     for p in range(npart):
         nsel = (np.arange(len(ext_ids)) % npart) == p
         esel = (src % npart) == p
@@ -244,6 +247,7 @@ def write_shards(out_dir, meta, ext_ids, node_type, node_w,
             else:
                 arrs[f"ef_d:{name}"] = parts[0][esel]
         np.savez_compressed(os.path.join(out_dir, f"part_{p}.npz"), **arrs)
+    return meta
 
 
 def convert_json_file(path: str, out_dir: str, **kw) -> GraphMeta:

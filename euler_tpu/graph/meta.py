@@ -60,6 +60,10 @@ class GraphMeta:
     has_in_edges: bool = False
     sparse_hash_buckets: int = 0  # 0 => sparse ids kept verbatim (must fit int32)
     n_partitions: int = 1
+    # per-partition edge counts (recorded at convert time) — lets every
+    # host compute the global shard padding width without opening any
+    # other host's partition file (multi-host loading)
+    part_edge_counts: Optional[Tuple[int, ...]] = None
 
     # ---- convenience -----------------------------------------------------
     @property
@@ -110,4 +114,6 @@ class GraphMeta:
             FeatureSpec.from_dict(f) for f in d["node_features"])
         d["edge_features"] = tuple(
             FeatureSpec.from_dict(f) for f in d["edge_features"])
+        if d.get("part_edge_counts") is not None:
+            d["part_edge_counts"] = tuple(d["part_edge_counts"])
         return GraphMeta(**d)

@@ -189,8 +189,17 @@ class Graph:
     QueryProxy::Init -> GraphBuilder::Build, graph_builder.cc:57-157).
     """
 
+    #: all hot-path packs (see GraphTensors docstrings)
+    ALL_PACKS = ("group", "adj", "sample", "fan")
+
     def __init__(self, meta: GraphMeta, arrays: Dict[str, np.ndarray],
-                 device_put: bool = True):
+                 device_put: bool = True,
+                 packs: Tuple[str, ...] = ALL_PACKS):
+        """``packs`` selects which interleaved hot-path layouts to build:
+        'group' (group_pack), 'adj' (adj_pack), 'sample' (sample_pack),
+        'fan' (fan_pack). Every verb falls back gracefully when a pack is
+        absent; skipping unused packs cuts load time and device-transfer
+        bytes (sample_pack alone is 36 B/edge)."""
         self.meta = meta
         n, net = meta.n_nodes, meta.num_edge_types
 
@@ -291,6 +300,22 @@ class Graph:
                                prob=put(t["prob"]), alias=put(t["alias"]),
                                w_sum=put(t["w_sum"]))
 
+        pack_fields = {}
+        if "group" in packs:
+            pack_fields["group_pack"] = put(np.stack(
+                [group_ptr[:-1], group_ptr[1:]], axis=1).astype(np.int32))
+        if "adj" in packs or "sample" in packs:
+            adj_pack = _adj_pack_np(adj_dst, adj_type, adj_eid, adj_w)
+            if "adj" in packs:
+                pack_fields["adj_pack"] = put(adj_pack)
+            if "sample" in packs:
+                pack_fields["sample_pack"] = put(_sample_pack_np(
+                    group_ptr, adj_prob, adj_alias, adj_pack))
+        if "fan" in packs:
+            pack_fields["fan_pack"] = put(build_fan_pack(
+                group_ptr, adj_dst, adj_prob, adj_alias,
+                group_w_sum.reshape(-1)))
+
         self.tensors = GraphTensors(
             meta=meta,
             node_type=put(node_type),
@@ -303,16 +328,8 @@ class Graph:
             adj_w_cumsum=put(w_cum),
             adj_prob=put(adj_prob),
             adj_alias=put(adj_alias),
-            group_pack=put(np.stack(
-                [group_ptr[:-1], group_ptr[1:]], axis=1).astype(np.int32)),
-            adj_pack=put(_adj_pack_np(adj_dst, adj_type, adj_eid, adj_w)),
-            sample_pack=put(_sample_pack_np(
-                group_ptr, adj_prob, adj_alias,
-                _adj_pack_np(adj_dst, adj_type, adj_eid, adj_w))),
-            fan_pack=put(build_fan_pack(
-                group_ptr, adj_dst, adj_prob, adj_alias,
-                group_w_sum.reshape(-1))),
             adj_eid=put(adj_eid),
+            **pack_fields,
             eid_type=put(etype[eorder].astype(np.int32)),
             group_w_sum=put(group_w_sum),
             node_alias=put_alias(node_alias_np),

@@ -297,16 +297,15 @@ def sample_neighbor_fast(g: GraphTensors, key, nodes: Array, edge_types,
     return jnp.where(valid, ids, default_id), valid
 
 
-def refresh_fan_pack(g: GraphTensors, key) -> GraphTensors:
-    """Redraw the reservoir rows of fan_pack on device (one bulk pass).
+def refresh_fan_rows(group_ptr, adj_dst, adj_prob, adj_alias, fan_pack,
+                     key):
+    """Array-level fan_pack reservoir redraw; returns the new fan_pack.
 
-    Groups with degree > FAN_D hold FAN_D precomputed i.i.d. draws; calling
-    this per epoch (or every RunConfig.reservoir_refresh steps) re-randomizes
-    them so long runs see the full neighborhood of high-degree nodes.
+    Kept separate from :func:`refresh_fan_pack` so callers can jit exactly
+    (5 arrays in, 1 array out) — jitting over the whole GraphTensors would
+    round-trip every CSR column through the device as program outputs.
     """
-    if getattr(g, "fan_pack", None) is None:
-        return g
-    gp = g.group_ptr
+    gp = group_ptr
     G = gp.shape[0] - 1
     deg = gp[1:] - gp[:-1]                                    # [G]
     over = deg > FAN_D
@@ -316,18 +315,35 @@ def refresh_fan_pack(g: GraphTensors, key) -> GraphTensors:
     safe_deg = jnp.maximum(deg, 1)[:, None]
     slot = jnp.minimum((u1 * safe_deg).astype(jnp.int32), safe_deg - 1)
     idx = gp[:-1][:, None] + slot
-    idx = jnp.clip(idx, 0, g.adj_dst.shape[0] - 1)
-    keep = u2 < g.adj_prob[idx]
-    alias_idx = jnp.clip(gp[:-1][:, None] + g.adj_alias[idx], 0,
-                         g.adj_dst.shape[0] - 1)
-    draw = jnp.where(keep, g.adj_dst[idx], g.adj_dst[alias_idx])
-    fp = g.fan_pack
+    idx = jnp.clip(idx, 0, adj_dst.shape[0] - 1)
+    keep = u2 < adj_prob[idx]
+    alias_idx = jnp.clip(gp[:-1][:, None] + adj_alias[idx], 0,
+                         adj_dst.shape[0] - 1)
+    draw = jnp.where(keep, adj_dst[idx], adj_dst[alias_idx])
+    fp = fan_pack
     new_kept = jnp.where(over[:, None], draw,
                          fp[:, FAN_KEPT_OFF:FAN_KEPT_OFF + FAN_D])
     new_alias = jnp.where(over[:, None], draw,
                           fp[:, FAN_ALIAS_OFF:FAN_ALIAS_OFF + FAN_D])
     fp = fp.at[:, FAN_KEPT_OFF:FAN_KEPT_OFF + FAN_D].set(new_kept)
     fp = fp.at[:, FAN_ALIAS_OFF:FAN_ALIAS_OFF + FAN_D].set(new_alias)
+    return fp
+
+
+_refresh_fan_rows_jit = jax.jit(refresh_fan_rows)
+
+
+def refresh_fan_pack(g: GraphTensors, key) -> GraphTensors:
+    """Redraw the reservoir rows of fan_pack on device (one bulk pass).
+
+    Groups with degree > FAN_D hold FAN_D precomputed i.i.d. draws; calling
+    this per epoch (or every RunConfig.reservoir_refresh steps) re-randomizes
+    them so long runs see the full neighborhood of high-degree nodes.
+    """
+    if getattr(g, "fan_pack", None) is None:
+        return g
+    fp = _refresh_fan_rows_jit(g.group_ptr, g.adj_dst, g.adj_prob,
+                               g.adj_alias, g.fan_pack, key)
     return g.replace(fan_pack=fp)
 
 

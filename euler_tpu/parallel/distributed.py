@@ -1,0 +1,186 @@
+"""Multi-host distribution: process init, global meshes, per-host loading.
+
+TPU-native counterpart of the reference's multi-server deployment
+(reference: N shard servers behind gRPC, euler/service/grpc_server.h:38,
+each calling ``Graph::Init(shard_idx, shard_num, ...)`` on only its own
+partition files; clients discover shards via ZooKeeper and scatter/gather
+queries, euler/client/query_proxy.cc:93-145). On TPU the server fleet
+becomes one SPMD program over a multi-process ``jax.distributed`` job:
+
+  * :func:`initialize` — one call per process (the ZK registration role);
+  * :func:`make_global_mesh` — a Mesh over ALL processes' devices with the
+    ('data', 'graph') axes the parallel.train step expects; with the graph
+    axis laid out so consecutive shards sit on one host's devices first
+    (cross-shard psum/all_gather rides ICI before DCN);
+  * :func:`load_graph_sharded` — each process reads ONLY the partition
+    files its local devices own (the GraphBuilder-per-server role,
+    graph_builder.cc:57-157) and the global stacked arrays are assembled
+    with ``jax.make_array_from_callback`` — no host ever holds the whole
+    graph.
+
+Single-process multi-device use works too (mesh over local devices,
+every shard loaded locally) — the same code path the tests exercise with
+``XLA_FLAGS=--xla_force_host_platform_device_count=N``.
+"""
+from __future__ import annotations
+
+import glob
+import os
+from typing import Dict, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from euler_tpu.graph import convert as _convert
+from euler_tpu.graph.meta import BINARY, DENSE, SPARSE, GraphMeta
+from euler_tpu.graph.store import string_hash32
+from euler_tpu.parallel.sharded import (ShardedGraphTensors,
+                                        _build_shard_core,
+                                        _pad_shard_fields, assemble_sharded)
+
+
+def initialize(coordinator_address: Optional[str] = None,
+               num_processes: Optional[int] = None,
+               process_id: Optional[int] = None,
+               local_device_ids=None) -> None:
+    """Join the multi-process job (call once per process, before any jax
+    device use). On Cloud TPU all arguments auto-detect from the
+    environment; set them explicitly for CPU test jobs.
+
+    The reference's equivalent is ZK registration at server start
+    (euler/common/zk_server_register.cc) + client shard discovery
+    (zk_server_monitor.h:30); here membership is static and XLA's
+    collectives replace the RPC mesh.
+    """
+    kw = {}
+    if coordinator_address is not None:
+        kw["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kw["num_processes"] = num_processes
+    if process_id is not None:
+        kw["process_id"] = process_id
+    if local_device_ids is not None:
+        kw["local_device_ids"] = local_device_ids
+    jax.distributed.initialize(**kw)
+
+
+def make_global_mesh(data: int = 1, graph: Optional[int] = None) -> Mesh:
+    """('data', 'graph') mesh over every device in the job.
+
+    ``jax.devices()`` orders devices process-major, so reshaping to
+    (data, graph) with ``data`` = number of device "rows" keeps each graph
+    group's shards contiguous across a host's local devices first — the
+    owner-combine collectives of parallel.sharded then ride ICI within a
+    host and cross DCN only between hosts that share a graph group.
+    """
+    devices = np.asarray(jax.devices())
+    total = devices.size
+    if graph is None:
+        graph = total // data
+    if data * graph != total:
+        raise ValueError(
+            f"mesh ({data}, {graph}) != {total} global devices")
+    return Mesh(devices.reshape(data, graph), ("data", "graph"))
+
+
+def sync_hosts(name: str = "euler_tpu_sync") -> None:
+    """Barrier across processes (reference: SyncExitHook role,
+    tf_euler/python/utils/hooks.py:26-40)."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices(name)
+
+
+def _my_shard_ids(mesh: Mesh, S: int):
+    """Shard indices this process's devices own under P('graph')."""
+    sharding = NamedSharding(mesh, P("graph"))
+    idx_map = sharding.addressable_devices_indices_map((S,))
+    return sorted({(sl[0].start or 0) for sl in idx_map.values()})
+
+
+def _part_fields(meta: GraphMeta, S: int, n_max: int, e_max: int,
+                 part: Dict[str, np.ndarray]):
+    """One partition file -> one shard's padded field pytree."""
+    own_type = part["node_type"]
+    own_w = part["node_w"]
+    core = _build_shard_core(
+        meta, own_type, own_w, part["src"] // S, part["dst"],
+        part["etype"], part["ew"], part["eid"])
+    perm = core["perm"]
+
+    dense_nf, sparse_nf, binary_hash = {}, {}, {}
+    for spec in meta.node_features:
+        if spec.kind == DENSE:
+            dense_nf[spec.name] = part[f"nf_d:{spec.name}"]
+        elif spec.kind == SPARSE:
+            sparse_nf[spec.name] = (part[f"nf_sp:{spec.name}"],
+                                    part[f"nf_splen:{spec.name}"])
+        else:
+            binary_hash[spec.name] = np.asarray(
+                [string_hash32(v) for v in part[f"nf_bin:{spec.name}"]],
+                np.int32)
+    dense_ef, sparse_ef = {}, {}
+    for spec in meta.edge_features:
+        if spec.kind == DENSE:
+            dense_ef[spec.name] = part[f"ef_d:{spec.name}"][perm]
+        elif spec.kind == SPARSE:
+            sparse_ef[spec.name] = (part[f"ef_sp:{spec.name}"][perm],
+                                    part[f"ef_splen:{spec.name}"][perm])
+    return core, _pad_shard_fields(
+        meta, core, n_max, e_max, own_type, own_w,
+        dense_nf, sparse_nf, binary_hash, dense_ef, sparse_ef)
+
+
+def load_graph_sharded(path: str, mesh: Mesh) -> ShardedGraphTensors:
+    """Per-host sharded load: read only the partitions this process's
+    devices own; assemble the distributed stacked arrays.
+
+    Requires the graph converted with ``n_partitions == mesh 'graph' axis``
+    (partitioning is ``local_id % n_partitions``, matching the sharded
+    store's ``v % S`` ownership — id_split_op.cc:46-48 routing).
+    """
+    with open(os.path.join(path, _convert.META_FILE)) as f:
+        meta = GraphMeta.from_json(f.read())
+    S = mesh.shape["graph"]
+    if meta.n_partitions != S:
+        raise ValueError(
+            f"graph at {path} has {meta.n_partitions} partitions but the "
+            f"mesh 'graph' axis is {S}; convert with n_partitions={S} "
+            "(or load_graph + build_sharded on one host)")
+    NT, ET = meta.num_node_types, meta.num_edge_types
+    n_max = -(-meta.n_nodes // S)
+
+    if meta.part_edge_counts is not None:
+        e_max = max(1, *meta.part_edge_counts)
+    else:  # legacy shard set: peek at each partition's edge count
+        e_max = 1
+        for p in range(S):
+            with np.load(os.path.join(path, f"part_{p}.npz")) as d:
+                e_max = max(e_max, int(d["eid"].shape[0]))
+
+    mine = _my_shard_ids(mesh, S)
+    fields_by_shard = {}
+    node_w_tab = np.zeros((S, NT), np.float32)
+    edge_w_tab = np.zeros((S, ET), np.float32)
+    for s in mine:
+        part = dict(np.load(os.path.join(path, f"part_{s}.npz"),
+                            allow_pickle=False))
+        core, fields = _part_fields(meta, S, n_max, e_max, part)
+        fields_by_shard[s] = fields
+        node_w_tab[s] = core["node_w_row"]
+        edge_w_tab[s] = core["edge_w_row"]
+
+    if jax.process_count() > 1:
+        # the replicated proportional-sampling tables need every shard's
+        # row (query_proxy.cc:93-145). Combine per-process partials with
+        # max, not sum: when the 'data' axis spans processes two processes
+        # hold identical copies of a shard's row (sum would double-count).
+        from jax.experimental import multihost_utils
+        node_w_tab = np.asarray(
+            multihost_utils.process_allgather(node_w_tab)).max(axis=0)
+        edge_w_tab = np.asarray(
+            multihost_utils.process_allgather(edge_w_tab)).max(axis=0)
+
+    return assemble_sharded(meta, S, fields_by_shard, node_w_tab,
+                            edge_w_tab, mesh=mesh)

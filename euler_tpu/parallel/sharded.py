@@ -125,8 +125,165 @@ class ShardView:
         return self.node_type.shape[0]
 
 
+def _build_shard_core(meta: GraphMeta, own_node_type, own_node_w,
+                      lsrc, dst, etype, ew, eid):
+    """Build one shard's unpadded CSR + samplers from its RAW edge list.
+
+    ``lsrc`` is LOCAL rows (global_id // S); ``dst``/``eid`` stay GLOBAL.
+    Shared by :func:`build_sharded` (single-host re-partition) and
+    :func:`euler_tpu.parallel.distributed.load_graph_sharded` (per-host
+    partition-file loading) so both produce identical shard layouts.
+    """
+    ET, NT = meta.num_edge_types, meta.num_node_types
+    n_local = len(own_node_type)
+    (gp, col, w, cw, eid_s, perm) = _convert.build_csr(
+        n_local, ET, np.ascontiguousarray(lsrc, np.int32),
+        np.asarray(dst, np.int32), np.asarray(etype, np.int32),
+        np.asarray(ew, np.float32), np.asarray(eid, np.int32))
+    ety = np.asarray(etype)[perm]
+    node_w_row = np.bincount(own_node_type, own_node_w,
+                             minlength=NT).astype(np.float32)
+    edge_w_row = np.bincount(ety, w, minlength=ET).astype(np.float32)
+    return dict(gp=gp, col=col, w=w, cw=cw, eid=eid_s, ety=ety, perm=perm,
+                n_local=n_local, m_local=len(col),
+                node_w_row=node_w_row, edge_w_row=edge_w_row)
+
+
+def _pad_shard_fields(meta: GraphMeta, core, n_max, e_max,
+                      own_node_type, own_node_w,
+                      dense_nf_own, sparse_nf_own, binary_hash_own,
+                      dense_ef_local, sparse_ef_local):
+    """One shard's padded field pytree (constructor-kwargs shape, minus the
+    replicated shard_*_w tables). Feature dicts are already subset to this
+    shard: node features indexed by own-node order, edge features by LOCAL
+    CSR slot order."""
+    ET, NT = meta.num_edge_types, meta.num_node_types
+    n_local, m_local = core["n_local"], core["m_local"]
+
+    def padn(a, fill=0, dtype=None):
+        out = np.full((n_max,) + a.shape[1:], fill, dtype or a.dtype)
+        out[:n_local] = a
+        return out
+
+    def pade(a, fill=0, dtype=None):
+        out = np.full((e_max,) + a.shape[1:], fill, dtype or a.dtype)
+        out[:m_local] = a
+        return out
+
+    gp = core["gp"]
+    gp_full = np.full(n_max * ET + 1, gp[-1] if len(gp) else 0,
+                      gp.dtype if len(gp) else np.int32)
+    gp_full[: len(gp)] = gp
+    seg = np.repeat(np.arange(len(gp_full) - 1), np.diff(gp_full))
+    gws = np.zeros(n_max * ET, np.float64)
+    np.add.at(gws, seg, core["w"].astype(np.float64))
+
+    cw = core["cw"]
+    last = cw[-1] if len(cw) else 0.0
+    gprob, galias = build_group_alias(gp_full.astype(np.int64), core["w"])
+    eorder = np.argsort(core["eid"], kind="stable").astype(np.int32)
+
+    na = build_typed_alias_tables(
+        np.concatenate([own_node_type,
+                        np.full(n_max - n_local, NT, np.int32)]),
+        np.concatenate([own_node_w, np.zeros(n_max - n_local)]), NT)
+    ea = build_typed_alias_tables(
+        np.concatenate([core["ety"],
+                        np.full(e_max - m_local, ET, np.int32)]),
+        np.concatenate([core["w"], np.zeros(e_max - m_local)]), ET)
+
+    def alias_dict(t):
+        return dict(ids=t["ids"], type_ptr=t["type_ptr"].astype(np.int32),
+                    prob=t["prob"], alias=t["alias"], w_sum=t["w_sum"])
+
+    return dict(
+        node_type=padn(own_node_type, -1),
+        node_w=padn(own_node_w),
+        group_ptr=gp_full.astype(np.int32),
+        adj_dst=pade(core["col"], -1),
+        adj_type=pade(core["ety"], -1),
+        adj_w=pade(core["w"]),
+        adj_w_cumsum=pade(cw, last),
+        adj_eid=pade(core["eid"], -1),
+        group_w_sum=gws.astype(np.float32).reshape(n_max, ET),
+        adj_prob=pade(gprob, 1.0),
+        adj_alias=pade(galias),
+        node_alias=alias_dict(na),
+        edge_alias=alias_dict(ea),
+        dense_nf={k: padn(v) for k, v in dense_nf_own.items()},
+        sparse_nf={k: (padn(ids, -1), padn(ln))
+                   for k, (ids, ln) in sparse_nf_own.items()},
+        dense_ef={k: pade(v) for k, v in dense_ef_local.items()},
+        sparse_ef={k: (pade(ids, -1), pade(ln))
+                   for k, (ids, ln) in sparse_ef_local.items()},
+        binary_hash_nf={k: padn(v) for k, v in binary_hash_own.items()},
+        eid_sorted=pade(core["eid"][eorder], np.iinfo(np.int32).max),
+        eid_slot=pade(eorder),
+    )
+
+
+def assemble_sharded(meta: GraphMeta, S: int, fields_by_shard,
+                     shard_node_w, shard_edge_w,
+                     mesh=None) -> ShardedGraphTensors:
+    """Stack per-shard field pytrees into a ShardedGraphTensors.
+
+    ``mesh=None``: host numpy stack (single process holds every shard).
+    With a mesh: assemble DISTRIBUTED arrays via
+    ``jax.make_array_from_callback`` — each process supplies only the
+    shards its local devices own (``fields_by_shard`` may hold just those),
+    so no host ever materializes the full graph (the per-host loading the
+    reference gets from per-shard servers, grpc_server.h:38).
+    """
+    example = fields_by_shard[sorted(fields_by_shard)[0]]
+    flat0, treedef = jax.tree_util.tree_flatten(example)
+    flat_by_shard = {
+        s: jax.tree_util.tree_flatten(f)[0]
+        for s, f in fields_by_shard.items()}
+
+    if mesh is None:
+        missing = [s for s in range(S) if s not in fields_by_shard]
+        if missing:
+            raise ValueError(f"mesh=None needs every shard; missing "
+                             f"{missing}")
+        glob = [jnp.asarray(np.stack([flat_by_shard[s][i]
+                                      for s in range(S)]))
+                for i in range(len(flat0))]
+        node_w_tab = jnp.asarray(shard_node_w)
+        edge_w_tab = jnp.asarray(shard_edge_w)
+    else:
+        sharding = NamedSharding(mesh, P("graph"))
+
+        def make(i, leaf):
+            shape = (S,) + leaf.shape
+
+            def cb(idx):
+                s = idx[0].start if idx[0].start is not None else 0
+                return flat_by_shard[s][i][None]
+
+            return jax.make_array_from_callback(shape, sharding, cb)
+
+        glob = [make(i, leaf) for i, leaf in enumerate(flat0)]
+        rep = NamedSharding(mesh, P())
+        node_w_tab = jax.make_array_from_callback(
+            shard_node_w.shape, rep, lambda idx: shard_node_w[idx])
+        edge_w_tab = jax.make_array_from_callback(
+            shard_edge_w.shape, rep, lambda idx: shard_edge_w[idx])
+
+    fields = jax.tree_util.tree_unflatten(treedef, glob)
+    fields["node_alias"] = AliasTables(**fields["node_alias"])
+    fields["edge_alias"] = AliasTables(**fields["edge_alias"])
+    return ShardedGraphTensors(
+        meta=meta, num_shards=S, shard_node_w=node_w_tab,
+        shard_edge_w=edge_w_tab, **fields)
+
+
 def build_sharded(graph: Graph, num_shards: int) -> ShardedGraphTensors:
-    """Partition a loaded Graph into stacked per-shard arrays (host)."""
+    """Partition a loaded Graph into stacked per-shard arrays (host).
+
+    Single-process path (re-partitions an already-loaded graph); for
+    multi-host per-partition loading see
+    euler_tpu.parallel.distributed.load_graph_sharded.
+    """
     meta = graph.meta
     S, N, ET, NT = num_shards, meta.n_nodes, meta.num_edge_types, \
         meta.num_node_types
@@ -141,16 +298,6 @@ def build_sharded(graph: Graph, num_shards: int) -> ShardedGraphTensors:
     adj_w = np.asarray(g.adj_w)
     adj_eid = np.asarray(g.adj_eid)
 
-    per = {k: [] for k in
-           ("node_type", "node_w", "group_ptr", "adj_dst", "adj_type",
-            "adj_w", "adj_w_cumsum", "adj_eid", "group_w_sum",
-            "adj_prob", "adj_alias", "eid_sorted", "eid_slot")}
-    alias_n, alias_e = [], []
-    dense_nf = {k: [] for k in g.dense_nf}
-    sparse_nf = {k: [] for k in g.sparse_nf}
-    dense_ef = {k: [] for k in g.dense_ef}
-    sparse_ef = {k: [] for k in g.sparse_ef}
-    binary_hash_nf = {k: [] for k in g.binary_hash_nf}
     shard_node_w = np.zeros((S, NT), np.float32)
     shard_edge_w = np.zeros((S, ET), np.float32)
 
@@ -159,138 +306,36 @@ def build_sharded(graph: Graph, num_shards: int) -> ShardedGraphTensors:
     # (id % partition_number) % shard_num routing, id_split_op.cc:46-48)
     edge_shard = adj_src % S
 
-    e_max = 0
-    shards = []
+    cores, owns = [], []
+    e_max = 1
     for s in range(S):
         own = np.where(np.arange(N) % S == s)[0]
         esel = edge_shard == s
-        # local rows: global id -> id // S; build local CSR over own nodes
-        lsrc = adj_src[esel] // S
-        (gp, col, w, cw, eid, perm) = _convert.build_csr(
-            len(own), ET, lsrc.astype(np.int32),
+        core = _build_shard_core(
+            meta, node_type[own], node_w[own], adj_src[esel] // S,
             adj_dst[esel], adj_type[esel], adj_w[esel], adj_eid[esel])
-        # note: build_csr re-sorts; col stays GLOBAL ids
-        n_local = len(own)
-        # pad group_ptr up to n_max*ET+1
-        gp_full = np.full(n_max * ET + 1, gp[-1] if len(gp) else 0,
-                          gp.dtype if len(gp) else np.int32)
-        gp_full[: len(gp)] = gp
-        ety = adj_type[esel][perm]
-        seg = np.repeat(np.arange(len(gp_full) - 1), np.diff(gp_full))
-        gws = np.zeros(n_max * ET, np.float64)
-        np.add.at(gws, seg, w.astype(np.float64))
-        shards.append(dict(own=own, gp=gp_full, col=col, w=w, cw=cw,
-                           eid=eid, ety=ety, gws=gws, esel=esel, perm=perm))
-        e_max = max(e_max, len(col))
-        shard_node_w[s] = np.bincount(node_type[own], node_w[own],
-                                      minlength=NT)
-        shard_edge_w[s] = np.bincount(ety, w, minlength=ET)
+        cores.append(core)
+        owns.append(own)
+        e_max = max(e_max, core["m_local"])
+        shard_node_w[s] = core["node_w_row"]
+        shard_edge_w[s] = core["edge_w_row"]
 
-    e_max = max(e_max, 1)
+    fields_by_shard = {}
     for s in range(S):
-        sh = shards[s]
-        own, col = sh["own"], sh["col"]
-        n_local, m_local = len(own), len(col)
+        own, core = owns[s], cores[s]
+        orig_rows = core["eid"]           # global edge rows, CSR slot order
+        fields_by_shard[s] = _pad_shard_fields(
+            meta, core, n_max, e_max, node_type[own], node_w[own],
+            {k: np.asarray(v)[own] for k, v in g.dense_nf.items()},
+            {k: (np.asarray(ids)[own], np.asarray(ln)[own])
+             for k, (ids, ln) in g.sparse_nf.items()},
+            {k: np.asarray(v)[own] for k, v in g.binary_hash_nf.items()},
+            {k: np.asarray(v)[orig_rows] for k, v in g.dense_ef.items()},
+            {k: (np.asarray(ids)[orig_rows], np.asarray(ln)[orig_rows])
+             for k, (ids, ln) in g.sparse_ef.items()})
 
-        def padn(a, fill=0, dtype=None):
-            out = np.full((n_max,) + a.shape[1:], fill,
-                          dtype or a.dtype)
-            out[:n_local] = a
-            return out
-
-        def pade(a, fill=0, dtype=None):
-            out = np.full((e_max,) + a.shape[1:], fill, dtype or a.dtype)
-            out[:m_local] = a
-            return out
-
-        per["node_type"].append(padn(node_type[own], -1))
-        per["node_w"].append(padn(node_w[own]))
-        per["group_ptr"].append(sh["gp"].astype(np.int32))
-        per["adj_dst"].append(pade(col, -1))
-        per["adj_type"].append(pade(sh["ety"], -1))
-        per["adj_w"].append(pade(sh["w"]))
-        cw = sh["cw"]
-        last = cw[-1] if len(cw) else 0.0
-        per["adj_w_cumsum"].append(pade(cw, last))
-        per["adj_eid"].append(pade(sh["eid"], -1))
-        per["group_w_sum"].append(
-            sh["gws"].astype(np.float32).reshape(n_max, ET))
-        gprob, galias = build_group_alias(sh["gp"].astype(np.int64),
-                                          sh["w"])
-        per["adj_prob"].append(pade(gprob, 1.0))
-        per["adj_alias"].append(pade(galias))
-
-        # global-eid -> local slot lookup (edge feature/type queries)
-        eorder = np.argsort(sh["eid"], kind="stable").astype(np.int32)
-        per["eid_sorted"].append(
-            pade(sh["eid"][eorder], np.iinfo(np.int32).max))
-        per["eid_slot"].append(pade(eorder))
-
-        na = build_typed_alias_tables(
-            np.concatenate([node_type[own],
-                            np.full(n_max - n_local, NT, np.int32)]),
-            np.concatenate([node_w[own], np.zeros(n_max - n_local)]),
-            NT)
-        alias_n.append(na)
-        ea = build_typed_alias_tables(
-            np.concatenate([sh["ety"], np.full(e_max - m_local, ET,
-                                               np.int32)]),
-            np.concatenate([sh["w"], np.zeros(e_max - m_local)]), ET)
-        alias_e.append(ea)
-
-        for k, v in g.dense_nf.items():
-            dense_nf[k].append(padn(np.asarray(v)[own]))
-        for k, v in g.binary_hash_nf.items():
-            binary_hash_nf[k].append(padn(np.asarray(v)[own]))
-        for k, (ids, ln) in g.sparse_nf.items():
-            sparse_nf[k].append((padn(np.asarray(ids)[own], -1),
-                                 padn(np.asarray(ln)[own])))
-        # edge features in LOCAL CSR slot order
-        orig_rows = sh["eid"]
-        for k, v in g.dense_ef.items():
-            dense_ef[k].append(pade(np.asarray(v)[orig_rows]))
-        for k, (ids, ln) in g.sparse_ef.items():
-            sparse_ef[k].append((pade(np.asarray(ids)[orig_rows], -1),
-                                 pade(np.asarray(ln)[orig_rows])))
-
-    def stack(xs):
-        return jnp.asarray(np.stack(xs))
-
-    def stack_alias(tabs):
-        return AliasTables(
-            ids=stack([t["ids"] for t in tabs]),
-            type_ptr=stack([t["type_ptr"].astype(np.int32) for t in tabs]),
-            prob=stack([t["prob"] for t in tabs]),
-            alias=stack([t["alias"] for t in tabs]),
-            w_sum=stack([t["w_sum"] for t in tabs]))
-
-    return ShardedGraphTensors(
-        meta=meta, num_shards=S,
-        node_type=stack(per["node_type"]),
-        node_w=stack(per["node_w"]),
-        group_ptr=stack(per["group_ptr"]),
-        adj_dst=stack(per["adj_dst"]),
-        adj_type=stack(per["adj_type"]),
-        adj_w=stack(per["adj_w"]),
-        adj_w_cumsum=stack(per["adj_w_cumsum"]),
-        adj_eid=stack(per["adj_eid"]),
-        group_w_sum=stack(per["group_w_sum"]),
-        adj_prob=stack(per["adj_prob"]),
-        adj_alias=stack(per["adj_alias"]),
-        node_alias=stack_alias(alias_n),
-        edge_alias=stack_alias(alias_e),
-        dense_nf={k: stack(v) for k, v in dense_nf.items()},
-        sparse_nf={k: (stack([a for a, _ in v]), stack([b for _, b in v]))
-                   for k, v in sparse_nf.items()},
-        dense_ef={k: stack(v) for k, v in dense_ef.items()},
-        sparse_ef={k: (stack([a for a, _ in v]), stack([b for _, b in v]))
-                   for k, v in sparse_ef.items()},
-        binary_hash_nf={k: stack(v) for k, v in binary_hash_nf.items()},
-        eid_sorted=stack(per["eid_sorted"]),
-        eid_slot=stack(per["eid_slot"]),
-        shard_node_w=jnp.asarray(shard_node_w),
-        shard_edge_w=jnp.asarray(shard_edge_w),
-    )
+    return assemble_sharded(meta, S, fields_by_shard, shard_node_w,
+                            shard_edge_w)
 
 
 def shard_specs(sg: ShardedGraphTensors):
