@@ -10,17 +10,18 @@ the chip). BASELINE.json publishes no reference throughput, so
 vs_baseline is reported against a fixed nominal target of 1e8 edges/s
 (speed-of-light-ish for this op mix on one chip; >1.0 beats it).
 
-Wall-clock design: the bench runs on a tunneled device where host<->device
-bandwidth is erratic, so it minimizes bytes shipped to the chip:
-  * the store is built with device_put=False and only the packs the hot
-    path reads (fan_pack); jax.jit prunes unused args, so the untouched
-    CSR columns never cross the tunnel;
-  * node features/labels are synthesized ON DEVICE (the graph is random
-    anyway — topology statistics, not feature values, determine speed);
-  * the arrays the program does read are device_put exactly once;
-  * compiled programs persist across runs via the jax compilation cache.
-A SIGTERM handler reports the best measurement so far, so a driver-side
-timeout degrades the number instead of erasing it.
+Wall-clock design: the bench runs on a tunneled device with erratic
+latency (multi-minute stalls have been observed), so it defends itself:
+  * minimal tunnel transfer — the store is built with device_put=False
+    and only the packs the hot path reads; jax.jit prunes unused args, so
+    untouched CSR columns never cross the tunnel; node features/labels
+    are synthesized ON DEVICE (the graph is random anyway);
+  * one dispatch per measured loop — the fan-reservoir refresh
+    (RunConfig.reservoir_refresh semantics) is fused into the jitted
+    scan program rather than dispatched separately;
+  * a provisional result is recorded as soon as the first timed loop
+    lands; SIGTERM (driver timeout) and an internal SIGALRM deadline
+    both emit the best measurement so far instead of dying silently.
 """
 import json
 import os
@@ -29,6 +30,7 @@ import sys
 import time
 
 _result = {}
+_DEADLINE_S = 270  # emit whatever we have before any external ~5min cap
 
 
 def _emit_and_exit(*_):
@@ -37,8 +39,19 @@ def _emit_and_exit(*_):
     os._exit(0 if _result else 1)
 
 
+def _record(edges, seconds):
+    v = edges / seconds
+    _result.update(metric="sampled_aggregate_edges_per_sec_per_chip",
+                   value=round(v, 1), unit="edges/s",
+                   vs_baseline=round(v / 1e8, 4))
+
+
 def main():
     signal.signal(signal.SIGTERM, _emit_and_exit)
+    signal.signal(signal.SIGALRM, _emit_and_exit)
+    signal.alarm(_DEADLINE_S)
+
+    import dataclasses
 
     import jax
     import jax.numpy as jnp
@@ -53,6 +66,7 @@ def main():
 
     from euler_tpu.dataflow import flows
     from euler_tpu.datasets.random_graph import random_graph
+    from euler_tpu.graph.meta import FeatureSpec
     from euler_tpu.models import encoders, gnn
     from euler_tpu.ops import sampling
 
@@ -71,9 +85,6 @@ def main():
     g = graph.tensors
 
     # declare the feature specs the model reads, synthesize values on device
-    import dataclasses
-
-    from euler_tpu.graph.meta import FeatureSpec
     meta = dataclasses.replace(
         g.meta,
         node_features=(FeatureSpec("feature", "dense", feat_dim),
@@ -98,6 +109,7 @@ def main():
         adj_dst=put(g.adj_dst),
         adj_prob=put(g.adj_prob),
         adj_alias=put(g.adj_alias),
+        fan_over_rows=put(g.fan_over_rows),
         node_alias=jax.tree.map(put, g.node_alias),
     )
 
@@ -135,6 +147,14 @@ def main():
 
     @jax.jit
     def run_loop(g, params, opt_state, key):
+        # unfreeze the fan reservoir once per loop (the estimator's
+        # RunConfig.reservoir_refresh semantics), fused into the same
+        # program — a separate dispatch costs ~0.2s on the tunnel
+        kr, key = jax.random.split(key)
+        g = g.replace(fan_pack=sampling.refresh_fan_rows(
+            g.group_ptr, g.adj_dst, g.adj_prob, g.adj_alias, g.fan_pack,
+            kr, g.fan_over_rows))
+
         def body(carry, i):
             params, opt_state = carry
             p2, o2, loss = step(g, params, opt_state,
@@ -144,9 +164,7 @@ def main():
         (params, opt_state), losses = jax.lax.scan(
             body, (params, opt_state),
             jnp.arange(steps_per_loop, dtype=jnp.int32))
-        return params, opt_state, losses[-1]
-
-    refresh = sampling.refresh_fan_pack  # jits its array-level core
+        return g.fan_pack, params, opt_state, losses[-1]
 
     # edges touched per step: hop1 B*f1 + hop2 B*f1*f2, plus self loops
     edges_per_step = batch * fanout[0] + batch * fanout[0] * fanout[1] \
@@ -155,34 +173,28 @@ def main():
     # warmup/compile. NB: sync via float(loss) (device->host copy), not
     # block_until_ready — on tunneled device platforms the latter can
     # return before execution finishes, inflating throughput ~100x.
-    params, opt_state, loss = run_loop(g, params, opt_state,
-                                       jax.random.PRNGKey(2))
+    fp, params, opt_state, loss = run_loop(g, params, opt_state,
+                                           jax.random.PRNGKey(2))
+    g = g.replace(fan_pack=fp)
     float(loss)
+    # timed warmup loop -> provisional result (salvageable on timeout)
+    t0 = time.perf_counter()
+    fp, params, opt_state, loss = run_loop(g, params, opt_state,
+                                           jax.random.PRNGKey(100))
+    g = g.replace(fan_pack=fp)
+    float(loss)
+    _record(edges_per_step * steps_per_loop, time.perf_counter() - t0)
 
     outer = 4 if on_tpu else 2
-    done = 0
     t0 = time.perf_counter()
     for i in range(outer):
-        # unfreeze the fan reservoir each loop (RunConfig.reservoir_refresh
-        # semantics) — measured, so the refresh cost is part of the number
-        g = refresh(g, jax.random.fold_in(jax.random.PRNGKey(9), i))
-        params, opt_state, loss = run_loop(g, params, opt_state,
-                                           jax.random.PRNGKey(3 + i))
-        done += 1
-        if i == 0:
-            float(loss)  # sync so a partial-progress number is real
-            dt = time.perf_counter() - t0
-            v = edges_per_step * steps_per_loop * done / dt
-            _result.update(metric="sampled_aggregate_edges_per_sec_per_chip",
-                           value=round(v, 1), unit="edges/s",
-                           vs_baseline=round(v / 1e8, 4))
+        fp, params, opt_state, loss = run_loop(g, params, opt_state,
+                                               jax.random.PRNGKey(3 + i))
+        g = g.replace(fan_pack=fp)
     float(loss)
-    dt = time.perf_counter() - t0
-    edges_per_sec = edges_per_step * steps_per_loop * done / dt
-
-    _result.update(metric="sampled_aggregate_edges_per_sec_per_chip",
-                   value=round(edges_per_sec, 1), unit="edges/s",
-                   vs_baseline=round(edges_per_sec / 1e8, 4))
+    _record(edges_per_step * steps_per_loop * outer,
+            time.perf_counter() - t0)
+    signal.alarm(0)
     print(json.dumps(_result), flush=True)
 
 

@@ -155,6 +155,9 @@ class GraphTensors:
     # node serves all its draws (ops/alias.py FAN_* layout + rationale).
     # The ids-only hot path of sample_neighbor/sample_fanout.
     fan_pack: Optional[jnp.ndarray] = None     # int32 [N*ET, 128]
+    # groups with degree > FAN_D (reservoir rows) — the only rows
+    # refresh_fan_pack must redraw (ops/sampling.refresh_fan_rows)
+    fan_over_rows: Optional[jnp.ndarray] = None  # int32 [K]
 
     # edge type per ORIGINAL edge row (adj_type is CSR-slot-ordered; eids
     # returned by the sampling verbs are original rows — RGCN relation
@@ -312,9 +315,12 @@ class Graph:
                 pack_fields["sample_pack"] = put(_sample_pack_np(
                     group_ptr, adj_prob, adj_alias, adj_pack))
         if "fan" in packs:
+            from euler_tpu.ops.alias import FAN_D
             pack_fields["fan_pack"] = put(build_fan_pack(
                 group_ptr, adj_dst, adj_prob, adj_alias,
                 group_w_sum.reshape(-1)))
+            pack_fields["fan_over_rows"] = put(np.nonzero(
+                np.diff(group_ptr) > FAN_D)[0].astype(np.int32))
 
         self.tensors = GraphTensors(
             meta=meta,

@@ -298,27 +298,55 @@ def sample_neighbor_fast(g: GraphTensors, key, nodes: Array, edge_types,
 
 
 def refresh_fan_rows(group_ptr, adj_dst, adj_prob, adj_alias, fan_pack,
-                     key):
+                     key, over_rows=None):
     """Array-level fan_pack reservoir redraw; returns the new fan_pack.
 
     Kept separate from :func:`refresh_fan_pack` so callers can jit exactly
-    (5 arrays in, 1 array out) — jitting over the whole GraphTensors would
+    (arrays in, 1 array out) — jitting over the whole GraphTensors would
     round-trip every CSR column through the device as program outputs.
+
+    ``over_rows`` (int32 [K], the groups with degree > FAN_D, precomputed
+    at build time — store.GraphTensors.fan_over_rows) restricts the
+    redraw to the reservoir rows: exact-alias rows never go stale, and on
+    most graphs overflow rows are a small fraction, so the refresh is a
+    [K, FAN_D] scatter instead of a full-pack rewrite.
     """
     gp = group_ptr
+    E = adj_dst.shape[0]
+    k1, k2 = jax.random.split(key)
+
+    if over_rows is not None:
+        rows = over_rows                                     # [K]
+        lo = gp[rows][:, None]
+        deg = (gp[rows + 1] - gp[rows])[:, None]
+        K = rows.shape[0]
+        if K == 0:
+            return fan_pack
+        u1 = jax.random.uniform(k1, (K, FAN_D))
+        u2 = jax.random.uniform(k2, (K, FAN_D))
+        slot = jnp.minimum((u1 * jnp.maximum(deg, 1)).astype(jnp.int32),
+                           jnp.maximum(deg - 1, 0))
+        idx = jnp.clip(lo + slot, 0, E - 1)
+        keep = u2 < adj_prob[idx]
+        alias_idx = jnp.clip(lo + adj_alias[idx], 0, E - 1)
+        draw = jnp.where(keep, adj_dst[idx], adj_dst[alias_idx])
+        fp = fan_pack.at[rows[:, None],
+                         FAN_KEPT_OFF + jnp.arange(FAN_D)[None, :]].set(
+            draw)
+        return fp.at[rows[:, None],
+                     FAN_ALIAS_OFF + jnp.arange(FAN_D)[None, :]].set(draw)
+
     G = gp.shape[0] - 1
     deg = gp[1:] - gp[:-1]                                    # [G]
     over = deg > FAN_D
-    k1, k2 = jax.random.split(key)
     u1 = jax.random.uniform(k1, (G, FAN_D))
     u2 = jax.random.uniform(k2, (G, FAN_D))
     safe_deg = jnp.maximum(deg, 1)[:, None]
     slot = jnp.minimum((u1 * safe_deg).astype(jnp.int32), safe_deg - 1)
     idx = gp[:-1][:, None] + slot
-    idx = jnp.clip(idx, 0, adj_dst.shape[0] - 1)
+    idx = jnp.clip(idx, 0, E - 1)
     keep = u2 < adj_prob[idx]
-    alias_idx = jnp.clip(gp[:-1][:, None] + adj_alias[idx], 0,
-                         adj_dst.shape[0] - 1)
+    alias_idx = jnp.clip(gp[:-1][:, None] + adj_alias[idx], 0, E - 1)
     draw = jnp.where(keep, adj_dst[idx], adj_dst[alias_idx])
     fp = fan_pack
     new_kept = jnp.where(over[:, None], draw,
@@ -343,7 +371,8 @@ def refresh_fan_pack(g: GraphTensors, key) -> GraphTensors:
     if getattr(g, "fan_pack", None) is None:
         return g
     fp = _refresh_fan_rows_jit(g.group_ptr, g.adj_dst, g.adj_prob,
-                               g.adj_alias, g.fan_pack, key)
+                               g.adj_alias, g.fan_pack, key,
+                               getattr(g, "fan_over_rows", None))
     return g.replace(fan_pack=fp)
 
 
