@@ -43,6 +43,16 @@ class Block:
     # message-passing step; XLA lowers scatter to a serialized sort-loop).
     fanout: Optional[int] = struct.field(pytree_node=False, default=None)
     self_loops: bool = struct.field(pytree_node=False, default=False)
+    # shared-source variant of the regular layout (layerwise/LADIES
+    # blocks): edge t*fanout+j connects dst=t to src=T+j — the ``fanout``
+    # sources per target are the SAME shared layer of ``fanout`` nodes
+    # rather than per-target samples (sample_neighbor_layerwise_with_adj
+    # returns exactly this frontier x layer adjacency)
+    shared_src: bool = struct.field(pytree_node=False, default=False)
+    # edge type per block edge (-1 pad/self-loop), carried from the sampling
+    # verb that produced the block so relation lookups (RGCN) need no
+    # eid->type resolution (which all-gathers across shards under a mesh)
+    e_type: Optional[Array] = None
 
     # ---- index-free message passing over the block ------------------
     # Generic (irregular) blocks fall back to mp_ops gather/scatter; the
@@ -56,6 +66,12 @@ class Block:
             return mp_ops.gather(x_src, self.edge_index[1])
         T = self.size[0]
         sampled = x_src[T:]                      # contiguous slice, free
+        if self.shared_src:
+            # the [C] shared layer broadcasts to every target's edge row
+            C = self.fanout
+            sampled = jnp.broadcast_to(
+                sampled[None], (T, C) + sampled.shape[1:]
+            ).reshape((T * C,) + sampled.shape[1:])
         if not self.self_loops:
             return sampled
         return jnp.concatenate([sampled, x_src[:T]], axis=0)
@@ -166,7 +182,12 @@ class Block:
             return mp_ops.scatter_add(updates, self.edge_index[1],
                                       self.size[1])
         T, C = self.size[0], self.fanout
-        sampled = updates[:T * C]                 # src slots T.. are 1:1
+        if self.shared_src:
+            # shared layer: reduce each source column over all targets
+            sampled = updates[:T * C].reshape((T, C) + updates.shape[1:]
+                                              ).sum(axis=0)
+        else:
+            sampled = updates[:T * C]             # src slots T.. are 1:1
         if self.self_loops:
             head = updates[T * C:]
         else:
@@ -175,8 +196,8 @@ class Block:
 
 
 def fanout_block(targets: Array, sampled: Array, weights: Array,
-                 eids: Array, count: int, add_self_loops: bool = True
-                 ) -> Block:
+                 eids: Array, count: int, add_self_loops: bool = True,
+                 etypes: Optional[Array] = None) -> Block:
     """Build the block for one sampled hop.
 
     targets: [T] node ids of this hop's frontier.
@@ -193,6 +214,7 @@ def fanout_block(targets: Array, sampled: Array, weights: Array,
     mask = ((flat >= 0) & (targets >= 0)[dst]).astype(jnp.float32)
     w = weights.reshape(-1)
     e_id = eids.reshape(-1)
+    e_type = None if etypes is None else etypes.reshape(-1)
     if add_self_loops:
         loop = jnp.arange(T, dtype=jnp.int32)
         dst = jnp.concatenate([dst, loop])
@@ -200,6 +222,9 @@ def fanout_block(targets: Array, sampled: Array, weights: Array,
         mask = jnp.concatenate([mask, (targets >= 0).astype(jnp.float32)])
         w = jnp.concatenate([w, jnp.ones((T,), w.dtype)])
         e_id = jnp.concatenate([e_id, jnp.full((T,), -1, jnp.int32)])
+        if e_type is not None:
+            e_type = jnp.concatenate([e_type,
+                                      jnp.full((T,), -1, jnp.int32)])
     return Block(
         n_id=n_id,
         res_n_id=jnp.arange(T, dtype=jnp.int32),
@@ -210,6 +235,7 @@ def fanout_block(targets: Array, sampled: Array, weights: Array,
         size=(T, int(n_id.shape[0])),
         fanout=count,
         self_loops=add_self_loops,
+        e_type=e_type,
     )
 
 

@@ -52,14 +52,16 @@ class SageDataFlow:
         for ets, cnt in zip(self.metapath, self.fanouts):
             key, sub = jax.random.split(key)
             if self.payload:
-                nbr, w, _, eid = sampling.sample_neighbor(
+                nbr, w, ty, eid = sampling.sample_neighbor(
                     g, sub, cur, ets, cnt, self.default_id)
             else:
                 nbr, valid = sampling.sample_neighbor_fast(
                     g, sub, cur, ets, cnt, self.default_id)
                 w = valid.astype(jnp.float32)
                 eid = jnp.full(nbr.shape, -1, jnp.int32)
-            blk = fanout_block(cur, nbr, w, eid, cnt, self.add_self_loops)
+                ty = None
+            blk = fanout_block(cur, nbr, w, eid, cnt, self.add_self_loops,
+                               etypes=ty)
             blocks.append(blk)
             cur = blk.n_id
         return list(reversed(blocks))
@@ -84,10 +86,11 @@ class GCNDataFlow:
         blocks = []
         cur = roots
         for ets, cap in zip(self.metapath, self.caps):
-            nbr, w, _, eid, ok = sampling.get_full_neighbor(
+            nbr, w, ty, eid, ok = sampling.get_full_neighbor(
                 g, cur, ets, cap, self.default_id)
             nbr = jnp.where(ok, nbr, -1)
-            blk = fanout_block(cur, nbr, w, eid, cap, self.add_self_loops)
+            blk = fanout_block(cur, nbr, w, eid, cap, self.add_self_loops,
+                               etypes=ty)
             blocks.append(blk)
             cur = blk.n_id
         return list(reversed(blocks))
@@ -121,8 +124,12 @@ class LayerwiseDataFlow:
     and layerwise_dataflow.py.
 
     Device formulation: sample M candidate (frontier, neighbor) draws,
-    importance-reweight via Gumbel top-k over sqrt of accumulated weights,
-    then connect frontier->layer with a capped adjacency.
+    importance-reweight via Gumbel top-k over weight_func of the edge
+    weights, dedup the selected layer, then recover the FULL frontier x
+    layer adjacency with per-group binary searches (sparse_get_adj) — the
+    reference returns every frontier->layer edge, not just the one that
+    drew each layer node (local_sample_layer_op.cc:94-102,
+    sample_neighbor_layerwise_with_adj_op.cc).
     """
 
     def __init__(self, layer_sizes: Sequence[int], metapath,
@@ -140,31 +147,26 @@ class LayerwiseDataFlow:
         blocks = []
         cur = roots
         for ets, m in zip(self.metapath, self.layer_sizes):
-            key, k1, k2, k3 = jax.random.split(key, 4)
+            key, k1 = jax.random.split(key)
             T = cur.shape[0]
-            # candidate pool: cpn weighted draws per frontier node
-            cand, cw, _, _ = sampling.sample_neighbor(
-                g, k1, cur, ets, self.cpn, self.default_id)
-            flat = cand.reshape(-1)
-            fw = cw.reshape(-1)
-            # importance score per candidate ~ weight_func(sum of weights)
-            score = self.weight_func(jnp.maximum(fw, 0.0))
-            score = jnp.where(flat >= 0, score, 0.0)
-            # Gumbel top-m without replacement over the candidate pool
-            gumbel = -jnp.log(-jnp.log(
-                jax.random.uniform(k2, flat.shape, minval=1e-20, maxval=1.0)))
-            keyed = jnp.where(score > 0, jnp.log(score) + gumbel, -jnp.inf)
-            _, top = jax.lax.top_k(keyed, m)
-            layer = jnp.where(jnp.isfinite(keyed[top]), flat[top], -1)
-            # connect: every frontier node to each sampled layer node that
-            # is one of its candidates (candidate provenance = row index)
-            owner = jnp.arange(T * self.cpn, dtype=jnp.int32) // self.cpn
-            dst = owner[top]                   # [m] frontier position
-            src = T + jnp.arange(m, dtype=jnp.int32)
+            layer, _ = sampling.sample_layer(
+                g, k1, cur, ets, self.cpn, m, self.weight_func)
+            # dedup: a node drawn via several frontier candidates must
+            # appear in the layer once or the adjacency double-counts it
+            eq = layer[None, :] == layer[:, None]
+            first = jnp.argmax(eq, axis=1)          # first occurrence index
+            dup = first != jnp.arange(m)
+            layer = jnp.where(dup, -1, layer)
+            # full bipartite adjacency frontier x layer (true LADIES
+            # estimator; dense [T, m] mask + weights)
+            conn, w2 = sampling.sparse_get_adj(g, cur, layer, ets)
             n_id = jnp.concatenate([cur, layer])
-            mask = ((layer >= 0) & (cur[dst] >= 0)).astype(jnp.float32)
-            w = jnp.where(mask > 0, fw[top], 0.0)
-            e_id = jnp.full((m,), -1, jnp.int32)
+            dst = jnp.repeat(jnp.arange(T, dtype=jnp.int32), m)
+            src = T + jnp.tile(jnp.arange(m, dtype=jnp.int32), T)
+            conn = conn & (cur >= 0)[:, None] & (layer >= 0)[None, :]
+            mask = conn.astype(jnp.float32).reshape(-1)
+            w = jnp.where(conn, w2, 0.0).reshape(-1)
+            e_id = jnp.full((T * m,), -1, jnp.int32)
             if self.add_self_loops:
                 loop = jnp.arange(T, dtype=jnp.int32)
                 dst = jnp.concatenate([dst, loop])
@@ -176,7 +178,8 @@ class LayerwiseDataFlow:
             blocks.append(Block(
                 n_id=n_id, res_n_id=jnp.arange(T, dtype=jnp.int32),
                 edge_index=jnp.stack([dst, src]), e_id=e_id,
-                edge_weight=w, mask=mask, size=(T, T + m)))
+                edge_weight=w, mask=mask, size=(T, T + m),
+                fanout=m, self_loops=self.add_self_loops, shared_src=True))
             cur = n_id
         return list(reversed(blocks))
 

@@ -57,6 +57,12 @@ class RunConfig:
     # inside one device program. Amortizes host->device dispatch (the
     # tunneled-TPU analog of the reference's per-batch RPC overhead);
     # log/save/profile granularity rounds to loop boundaries.
+    reservoir_refresh: int = 100  # redraw the fan_pack reservoir rows
+    # every N steps (0 = never). Groups with degree > FAN_D hold a
+    # reservoir of pre-drawn neighbors; per-draw marginals are exact but
+    # draws repeat the reservoir until refreshed, so without this long
+    # runs would see only <= FAN_D distinct neighbors per high-degree
+    # node (ops/alias.py FAN_* layout, ops/sampling.refresh_fan_pack).
 
 
 class BaseEstimator:
@@ -201,7 +207,12 @@ class BaseEstimator:
         t0 = time.time()
         last_loss = float("nan")
         i = 0
+        next_refresh = cfg.reservoir_refresh or float("inf")
         while i < total:
+            if i >= next_refresh:
+                key, kr = jax.random.split(key)
+                g = sampling.refresh_fan_pack(g, kr)
+                next_refresh += cfg.reservoir_refresh
             key, sub = jax.random.split(key)
             if spl > 1 and i + spl <= total:
                 params, state, opt_state, loss = run_loop(
@@ -224,6 +235,9 @@ class BaseEstimator:
                 self._save(i)
         if profiler is not None:
             profiler.close()
+        # keep the refreshed reservoir visible to evaluate/infer and to
+        # subsequent train() calls
+        self.graph.tensors = g
         self._params = self._merge_vars(params, state)
         self._save(total)
         return {"loss": float(last_loss) if last_loss == last_loss

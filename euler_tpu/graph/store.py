@@ -216,6 +216,19 @@ class Graph:
         src, dst = arrays["src"], arrays["dst"]
         etype, ew = arrays["etype"], arrays["ew"]
         eid = arrays["eid"]
+        # eid-indexed tables (dense_ef/sparse_ef/eid_type and the sharded
+        # eid->slot lookup) require edge ids to be the dense permutation
+        # 0..E-1; anything else would silently misindex edge features
+        e_sorted = np.sort(np.asarray(eid, np.int64))
+        if len(e_sorted) and not (e_sorted[0] == 0
+                                  and e_sorted[-1] == len(e_sorted) - 1
+                                  and np.array_equal(
+                                      e_sorted,
+                                      np.arange(len(e_sorted), dtype=np.int64))):
+            raise ValueError(
+                "edge ids must be a dense permutation of 0..E-1 "
+                f"(got min={e_sorted[0]}, max={e_sorted[-1]}, E={len(e_sorted)}); "
+                "re-run the converter, which assigns them")
 
         (group_ptr, adj_dst, adj_w, w_cum, adj_eid, perm) = _convert.build_csr(
             n, net, src, dst, etype, ew, eid)

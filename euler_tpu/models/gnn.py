@@ -57,7 +57,12 @@ class GNNNet(nn.Module):
             conv = self._make_conv(self.dims[i], i)
             x_tgt = x[: block.size[0]]
             if self.relation_from_etype:
-                ty = feature_ops.get_edge_type(g, block.e_id)
+                # prefer the types the sampling verb already returned with
+                # the block; resolving via eid all-gathers across shards
+                if block.e_type is not None:
+                    ty = block.e_type
+                else:
+                    ty = feature_ops.get_edge_type(g, block.e_id)
                 edge_attr = jnp.maximum(ty, 0)
                 x = conv((x_tgt, x), block, edge_attr=edge_attr)
             else:

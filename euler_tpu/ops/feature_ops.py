@@ -17,6 +17,7 @@ from typing import List, Sequence, Tuple
 import jax.numpy as jnp
 
 from euler_tpu.graph.store import GraphTensors
+from euler_tpu.ops.dispatch import is_shard_view as _is_shard_view
 
 Array = jnp.ndarray
 
@@ -34,7 +35,7 @@ def get_dense_feature(g: GraphTensors, nodes: Array,
                       names: Sequence[str]) -> List[Array]:
     """Dense (float) node features; [*, dim] per name.
     reference: tf_euler.get_dense_feature (feature_ops.py:126)."""
-    if hasattr(g, "axis") and hasattr(g, "shard_node_w"):
+    if _is_shard_view(g):
         from euler_tpu.parallel import sharded
         return sharded.get_dense_feature_sharded(g, nodes, names)
     return [_take_rows(g.dense_nf[n], nodes, 0.0) for n in names]
@@ -44,7 +45,7 @@ def get_sparse_feature(g: GraphTensors, nodes: Array, names: Sequence[str]
                        ) -> List[Tuple[Array, Array]]:
     """Sparse (id-list) node features as (ids [*, L] padded -1, mask).
     reference: tf_euler.get_sparse_feature (feature_ops.py:57)."""
-    if hasattr(g, "axis") and hasattr(g, "shard_node_w"):
+    if _is_shard_view(g):
         from euler_tpu.parallel import sharded
         return sharded.get_sparse_feature_sharded(g, nodes, names)
     out = []
@@ -58,7 +59,7 @@ def get_sparse_feature(g: GraphTensors, nodes: Array, names: Sequence[str]
 def get_edge_dense_feature(g: GraphTensors, eids: Array,
                            names: Sequence[str]) -> List[Array]:
     """reference: tf_euler.get_edge_dense_feature (feature_ops.py:170)."""
-    if hasattr(g, "axis") and hasattr(g, "shard_node_w"):
+    if _is_shard_view(g):
         from euler_tpu.parallel import sharded
         return sharded.get_edge_feature_sharded(g, eids, names, "dense")
     return [_take_rows(g.dense_ef[n], eids, 0.0) for n in names]
@@ -66,7 +67,7 @@ def get_edge_dense_feature(g: GraphTensors, eids: Array,
 
 def get_edge_sparse_feature(g: GraphTensors, eids: Array,
                             names: Sequence[str]):
-    if hasattr(g, "axis") and hasattr(g, "shard_node_w"):
+    if _is_shard_view(g):
         from euler_tpu.parallel import sharded
         return sharded.get_edge_feature_sharded(g, eids, names, "sparse")
     out = []
@@ -86,7 +87,7 @@ def get_edge_type(g: GraphTensors, eids: Array) -> Array:
     original-row-ordered table (reference: edges carry their type in the
     edge record, euler/core/graph/edge.h).
     """
-    if hasattr(g, "axis") and hasattr(g, "shard_node_w"):
+    if _is_shard_view(g):
         from euler_tpu.parallel import sharded
         return sharded.get_edge_type_sharded(g, eids)
     eids = jnp.asarray(eids, jnp.int32)

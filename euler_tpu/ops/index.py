@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from euler_tpu.graph.store import GraphTensors, string_hash32
+from euler_tpu.ops.dispatch import is_shard_view as _is_shard_view
 
 Array = jnp.ndarray
 
@@ -112,7 +113,7 @@ def sample_node_with_condition(g: GraphTensors, key, count: int,
     """Weighted node sampling restricted to the DNF-matching set
     (reference: sample_node_op.cc:65-103 index-backed conditional
     sampling)."""
-    if hasattr(g, "axis") and hasattr(g, "shard_node_w"):
+    if _is_shard_view(g):
         from euler_tpu.parallel import sharded
         return sharded.sample_node_with_condition_sharded(
             g, key, count, dnf, node_type)
@@ -127,7 +128,7 @@ def sample_node_with_condition(g: GraphTensors, key, count: int,
 def query_index_ids(g: GraphTensors, dnf, cap: int):
     """Matching node ids, padded to ``cap`` with -1 (the reference's
     QueryIndex kernel, core/kernels/common.cc:79, returns the id set)."""
-    if hasattr(g, "axis") and hasattr(g, "shard_node_w"):
+    if _is_shard_view(g):
         from euler_tpu.parallel import sharded
         return sharded.query_index_ids_sharded(g, dnf, cap)
     mask = dnf_mask(g, dnf)

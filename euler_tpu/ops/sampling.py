@@ -30,12 +30,7 @@ from euler_tpu.ops.alias import (FAN_ALIAS_OFF, FAN_D, FAN_KEPT_OFF,
 Array = jnp.ndarray
 
 
-def _is_shard_view(g) -> bool:
-    """True when running inside shard_map on a graph-sharded store
-    (euler_tpu.parallel.sharded.ShardView); ops then route through the
-    psum-combining SPMD implementations so the whole model stack runs
-    unchanged under a mesh."""
-    return hasattr(g, "axis") and hasattr(g, "shard_node_w")
+from euler_tpu.ops.dispatch import is_shard_view as _is_shard_view
 
 
 def _as_etypes(g, edge_types) -> Tuple[int, ...]:
@@ -91,7 +86,9 @@ def sample_node_with_src(g: GraphTensors, key, src_nodes: Array,
     size = (na.type_ptr[types + 1] - na.type_ptr[types])[:, None]
     pos = alias_draw(key, na.prob, na.alias, lo, size,
                      (src_nodes.shape[0], count))
-    return jnp.where(pos >= 0, na.ids[jnp.maximum(pos, 0)], -1)
+    out = jnp.where(pos >= 0, na.ids[jnp.maximum(pos, 0)], -1)
+    # invalid (padded) src rows yield -1, matching the sharded path
+    return jnp.where((src_nodes >= 0)[:, None], out, -1)
 
 
 def sample_edge(g: GraphTensors, key, count: int, edge_type=-1):

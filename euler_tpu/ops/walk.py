@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from euler_tpu.graph.store import GraphTensors
+from euler_tpu.ops.dispatch import is_shard_view as _is_shard_view
 from euler_tpu.ops.sampling import _as_etypes, _group_bounds, \
     _weighted_group_draw, sample_neighbor
 
@@ -34,7 +35,7 @@ def _is_neighbor(g: GraphTensors, src: Array, etypes, cand: Array) -> Array:
     (src, etype) group supports an O(log deg) search — the device analogue
     of the reference's sorted-merge in BuildWeights
     (random_walk_op.cc BuildWeights)."""
-    if hasattr(g, "axis") and hasattr(g, "shard_node_w"):
+    if _is_shard_view(g):
         from euler_tpu.parallel import sharded
         return sharded.is_neighbor_sharded(g, src, etypes, cand)
     found = jnp.zeros(src.shape, bool)

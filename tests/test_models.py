@@ -63,6 +63,73 @@ def test_layerwise_dataflow_shapes(toy_graph):
     assert blocks[0].size == (8, 8 + 4)
 
 
+def test_layerwise_full_adjacency(toy_graph):
+    """LADIES blocks carry the FULL frontier x layer adjacency, not just
+    the provenance edge that drew each layer node (reference:
+    local_sample_layer_op.cc:94-102 + sample_neighbor_layerwise_with_adj).
+    Checked against a brute-force adjacency of the fixture edge list."""
+    from tests.fixtures import EDGES
+    g = toy_graph.tensors
+    m = 5
+    flow = flows.LayerwiseDataFlow([m], [(0, 1)], add_self_loops=False)
+    roots = jnp.asarray(toy_graph.local_ids([100, 102, 104, 101]), jnp.int32)
+    for seed in range(6):
+        blocks = flow(g, jax.random.PRNGKey(seed), roots)
+        blk = blocks[0]
+        T = blk.size[0]
+        n_id = np.asarray(blk.n_id)
+        layer = n_id[T:]
+        live = layer[layer >= 0]
+        assert len(set(live.tolist())) == len(live)  # dedup'd layer
+        ei = np.asarray(blk.edge_index)
+        mask = np.asarray(blk.mask)
+        w = np.asarray(blk.edge_weight)
+        adj = {}
+        for s, d, _, wt in EDGES:
+            adj[(toy_graph.local_id(s), toy_graph.local_id(d))] = wt
+        for e in range(ei.shape[1]):
+            t, s = n_id[ei[0, e]], n_id[ei[1, e]]
+            want = adj.get((int(t), int(s))) if t >= 0 and s >= 0 else None
+            if want is None:
+                assert mask[e] == 0, (t, s)
+            else:
+                assert mask[e] == 1, (t, s)
+                assert w[e] == want
+
+
+def test_shared_src_block_paths_match_generic(toy_graph):
+    """The shared-source regular layout (gather/scatter via reshapes) must
+    agree with the generic mp_ops gather/scatter path on the same block."""
+    import dataclasses as dc
+    g = toy_graph.tensors
+    flow = flows.LayerwiseDataFlow([4], [(0, 1)])
+    roots = jnp.asarray([0, 2, 4], jnp.int32)
+    blk = flow(g, jax.random.PRNGKey(3), roots)[0]
+    assert blk.shared_src
+    gen = dc.replace(blk, fanout=None)
+    key = jax.random.PRNGKey(7)
+    x_src = jax.random.normal(key, (blk.size[1], 6))
+    np.testing.assert_allclose(np.asarray(blk.gather_src(x_src)),
+                               np.asarray(gen.gather_src(x_src)), rtol=1e-6)
+    v = jax.random.normal(key, (blk.size[0], 6))
+    np.testing.assert_allclose(np.asarray(blk.gather_tgt(v)),
+                               np.asarray(gen.gather_tgt(v)), rtol=1e-6)
+    upd = jax.random.normal(key, (blk.edge_index.shape[1], 6))
+    for op in ("add", "mean", "max"):
+        np.testing.assert_allclose(
+            np.asarray(blk.scatter(op, upd, blk.mask)),
+            np.asarray(gen.scatter(op, upd, blk.mask)), rtol=1e-5,
+            atol=1e-6)
+    scores = jax.random.normal(key, (blk.edge_index.shape[1],))
+    np.testing.assert_allclose(np.asarray(blk.softmax(scores, blk.mask)),
+                               np.asarray(gen.softmax(scores, blk.mask)),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(blk.scatter_src_add(upd, blk.mask)),
+        np.asarray(gen.scatter_src_add(upd, blk.mask)), rtol=1e-5,
+        atol=1e-6)
+
+
 @pytest.mark.parametrize("name", ["gcn", "sage", "gat", "gin", "tag",
                                   "sgcn", "agnn", "appnp", "graph", "arma",
                                   "dna", "gated"])

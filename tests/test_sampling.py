@@ -47,6 +47,17 @@ def test_sample_node_with_src(toy_graph):
     assert (nt[out[1]] == nt[src[1]]).all()
 
 
+def test_sample_node_with_src_padded_rows(toy_graph):
+    # padded (-1) src rows yield -1, matching the sharded path
+    # (parallel/sharded.sample_node_with_src_sharded)
+    g = toy_graph.tensors
+    src = jnp.asarray([toy_graph.local_id(100), -1], jnp.int32)
+    out = np.asarray(sampling.sample_node_with_src(
+        g, jax.random.PRNGKey(2), src, 8))
+    assert (out[0] >= 0).all()
+    assert (out[1] == -1).all()
+
+
 def test_sample_edge(toy_graph):
     g = toy_graph.tensors
     et_buy = _et(g, "buy")
