@@ -189,17 +189,167 @@ class Citeseer(_ContentCitesDataset):
 
 
 class Pubmed(NamedDataset):
+    """Pubmed-Diabetes tab files (NODE.paper.tab: header of w-* feature
+    names, rows id<TAB>label=N<TAB>w-x=v...<TAB>summary; DIRECTED.cites.tab
+    rows idx<TAB>paper:src<TAB>|<TAB>paper:dst).
+    reference: pubmed.py convert2json + pubmed_utils.py:20-97 — node ids
+    indexed by first appearance in the cites file, features sum-normalized,
+    test = local id > test_start_num."""
+
     name = "pubmed"
     feature_dim = 500
     label_dim = 3
     total_size = 19717
+    test_start_num = 18717
+
+    def _raw_files(self):
+        base = os.path.join(self.raw_dir, "data")
+        if not os.path.isdir(base):
+            base = self.raw_dir
+        return (os.path.join(base, "Pubmed-Diabetes.NODE.paper.tab"),
+                os.path.join(base, "Pubmed-Diabetes.DIRECTED.cites.tab"))
+
+    def has_raw(self):
+        return all(os.path.exists(p) for p in self._raw_files())
+
+    def raw_to_json(self):
+        node_tab, cite_tab = self._raw_files()
+        id_of: Dict[str, int] = {}
+        pairs = []
+        with open(cite_tab) as f:
+            for line in f:
+                parts = line.strip().split("\t")
+                if len(parts) != 4:
+                    continue
+                s = parts[1].split(":")[1]
+                d = parts[3].split(":")[1]
+                id_of.setdefault(s, len(id_of))
+                id_of.setdefault(d, len(id_of))
+                pairs.append((id_of[s], id_of[d]))
+        fea_of: Dict[str, int] = {}
+        feats = {}
+        labels = {}
+        with open(node_tab) as f:
+            for line in f:
+                parts = line.strip().split("\t")
+                if len(parts) == 2:
+                    continue
+                if line.strip().startswith("cat=1,2,3"):
+                    for tok in parts[1:-1]:
+                        fea_of[tok.split(":")[-2]] = len(fea_of)
+                    continue
+                if len(parts) < 3 or "=" not in parts[1]:
+                    continue        # header / malformed row
+                pid = parts[0]
+                if pid not in id_of:
+                    id_of[pid] = len(id_of)
+                lab = int(parts[1].split("=")[1]) - 1
+                fv = np.zeros(len(fea_of), np.float64)
+                for tok in parts[2:-1]:
+                    k, v = tok.split("=")
+                    if k in fea_of:
+                        fv[fea_of[k]] = float(v)
+                fv /= fv.sum() + 1e-7       # pubmed.py add_node normalizes
+                feats[id_of[pid]] = fv
+                labels[id_of[pid]] = lab
+        n = len(id_of)
+        tsn = self.test_start_num
+        nodes = []
+        is_test = np.zeros(n, bool)
+        for i in range(n):
+            one_hot = [0.0] * self.label_dim
+            if i in labels:
+                one_hot[labels[i]] = 1.0
+            fv = feats.get(i, np.zeros(len(fea_of)))
+            is_test[i] = i > tsn
+            nodes.append({"id": i, "type": "test" if i > tsn else "train",
+                          "weight": 1.0, "features": [
+                              {"name": "feature", "type": "dense",
+                               "value": list(map(float, fv))},
+                              {"name": "label", "type": "dense",
+                               "value": one_hot}]})
+        edges = [{"src": s, "dst": d,
+                  "type": "train_removed" if (s > tsn or d > tsn)
+                  else "train", "weight": 1.0, "features": []}
+                 for s, d in pairs]
+        self.feature_dim = len(fea_of)
+        self.all_edge_type = ["train", "train_removed"]
+        self._test_mask = is_test
+        return {"nodes": nodes, "edges": edges}
 
 
 class PPI(NamedDataset):
+    """GraphSAGE ppi.zip: ppi-G.json (node_link graph with test/val node
+    flags), ppi-feats.npy, ppi-id_map.json, ppi-class_map.json.
+    reference: ppi.py convert2json — node weight = degree, edge type
+    train_removed when either end is test/val."""
+
     name = "ppi"
     feature_dim = 50
     label_dim = 121
     total_size = 56944
+
+    def has_raw(self):
+        return all(os.path.exists(os.path.join(self.raw_dir, f)) for f in
+                   ("ppi-G.json", "ppi-feats.npy", "ppi-id_map.json",
+                    "ppi-class_map.json"))
+
+    def raw_to_json(self):
+        import json as _json
+        with open(os.path.join(self.raw_dir, "ppi-G.json")) as f:
+            G = _json.load(f)
+        feats = np.load(os.path.join(self.raw_dir, "ppi-feats.npy"))
+        with open(os.path.join(self.raw_dir, "ppi-id_map.json")) as f:
+            id_map = _json.load(f)
+        with open(os.path.join(self.raw_dir, "ppi-class_map.json")) as f:
+            class_map = _json.load(f)
+        gnodes = G["nodes"]
+        deg = {}
+        links = []
+        for e in G["links"]:
+            s, d = e["source"], e["target"]
+            # node_link refs may be positional indices or node ids
+            sid = gnodes[s]["id"] if isinstance(s, int) and s < len(gnodes) \
+                else s
+            did = gnodes[d]["id"] if isinstance(d, int) and d < len(gnodes) \
+                else d
+            links.append((sid, did))
+            deg[sid] = deg.get(sid, 0) + 1
+            deg[did] = deg.get(did, 0) + 1
+        nodes = []
+        is_eval = {}
+        n = len(gnodes)
+        is_test = np.zeros(n, bool)
+        for nd in gnodes:
+            nid = nd["id"]
+            idx = id_map[str(nid)] if str(nid) in id_map else id_map[nid]
+            typ = "test" if nd.get("test") else (
+                "val" if nd.get("val") else "train")
+            is_eval[nid] = typ != "train"
+            if idx < n:
+                is_test[idx] = nd.get("test", False)
+            lab = class_map[str(nid)] if str(nid) in class_map \
+                else class_map[nid]
+            nodes.append({"id": idx, "type": typ,
+                          "weight": float(deg.get(nid, 0)) or 1.0,
+                          "features": [
+                              {"name": "feature", "type": "dense",
+                               "value": list(map(float, feats[idx]))},
+                              {"name": "label", "type": "dense",
+                               "value": list(map(float, lab))}]})
+        edges = []
+        for sid, did in links:
+            et = "train_removed" if (is_eval.get(sid) or is_eval.get(did)) \
+                else "train"
+            si = id_map[str(sid)] if str(sid) in id_map else id_map[sid]
+            di = id_map[str(did)] if str(did) in id_map else id_map[did]
+            for a, b in ((si, di), (di, si)):
+                edges.append({"src": a, "dst": b, "type": et,
+                              "weight": 1.0, "features": []})
+        self.feature_dim = int(feats.shape[1])
+        self.all_edge_type = ["train", "train_removed"]
+        self._test_mask = is_test
+        return {"nodes": nodes, "edges": edges}
 
     def synthetic_json(self):
         # multi-label stand-in: labels are independent sigmoid targets

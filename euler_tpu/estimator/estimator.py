@@ -279,13 +279,11 @@ class BaseEstimator:
 
         ids = np.asarray(ids, np.int32)
         if ids.ndim == 1 and isinstance(self, EdgeEstimator):
-            # node ids make no sense for edge models: evaluate on sampled
-            # edges instead (reference evaluates from triple id files)
-            src, dst, ty, _ = sampling.sample_edge(
-                g, jax.random.PRNGKey(self.config.seed + 3), len(ids),
-                self.train_edge_type)
-            ids = np.stack([np.asarray(src), np.asarray(dst),
-                            np.asarray(ty)], axis=1)
+            raise ValueError(
+                "EdgeEstimator.evaluate needs [T,3] (src,dst,etype) test "
+                "triples, not node ids (the reference evaluates from "
+                "triple id files); use sample_edge to build a triple set "
+                "or evaluate_ranking for full-entity MR/Hit@k")
         outs, n = self._batched_apply(ids, eval_fn)
         # supervised: f1/acc from logits+labels; unsupervised: mrr
         if "logit" in outs[0]:
@@ -364,6 +362,19 @@ class EdgeEstimator(BaseEstimator):
         src, dst, ty, _ = sampling.sample_edge(
             g, key, self.config.batch_size, self.train_edge_type)
         return jnp.stack([src, dst, ty], axis=1)
+
+    def evaluate_ranking(self, triples, corrupt: str = "both",
+                         filter_known=None, hit_ks=(1, 3, 10)
+                         ) -> Dict[str, float]:
+        """Full-entity ranking eval (MeanRank/MRR/Hit@k) of [T,3] test
+        triples — the protocol behind the reference's FB15k result table
+        (examples/TransX/README.md). Requires a TransX-family model."""
+        from euler_tpu.models.kg import rank_all_entities
+        return rank_all_entities(self.model, self.params,
+                                 self.graph.tensors, triples,
+                                 batch_size=self.config.batch_size,
+                                 corrupt=corrupt, filter_known=filter_known,
+                                 hit_ks=hit_ks)
 
 
 class GraphEstimator(BaseEstimator):

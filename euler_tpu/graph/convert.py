@@ -253,3 +253,46 @@ def write_shards(out_dir, meta, ext_ids, node_type, node_w,
 def convert_json_file(path: str, out_dir: str, **kw) -> GraphMeta:
     with open(path) as f:
         return convert_json_graph(json.load(f), out_dir, **kw)
+
+
+def main(argv=None):
+    """CLI: ``python -m euler_tpu.graph.convert graph.json out_dir
+    [--partitions N]`` — the role of the reference's converter entry
+    ``python generate_euler_data.py graph.json output_dir partition_num``
+    (euler/tools/generate_euler_data.py:53-62; index tables are derived
+    from the converted features on device, so no index.meta input)."""
+    import argparse
+
+    p = argparse.ArgumentParser(
+        prog="python -m euler_tpu.graph.convert",
+        description="Convert an euler-schema JSON graph to an euler_tpu "
+                    "shard directory (meta.json + part_*.npz)")
+    p.add_argument("graph_json", help="input JSON graph file")
+    p.add_argument("out_dir", help="output shard directory")
+    p.add_argument("partition_num", nargs="?", type=int, default=None,
+                   help="positional partition count (reference CLI compat)")
+    p.add_argument("--partitions", type=int, default=1)
+    p.add_argument("--undirected", action="store_true",
+                   help="add the reverse of every edge")
+    p.add_argument("--no-in-edges", action="store_true",
+                   help="skip building the in-adjacency (halves edge "
+                        "storage; disables the in-neighbor verbs)")
+    p.add_argument("--hash-buckets", type=int, default=0,
+                   help="mod-hash sparse feature ids into this many "
+                        "buckets (required if ids exceed int32)")
+    args = p.parse_args(argv)
+    nparts = args.partition_num or args.partitions
+    meta = convert_json_file(
+        args.graph_json, args.out_dir, n_partitions=nparts,
+        directed=not args.undirected,
+        build_in_edges=not args.no_in_edges,
+        hash_buckets=args.hash_buckets)
+    print(f"[euler_tpu] converted {args.graph_json} -> {args.out_dir}: "
+          f"{meta.n_nodes} nodes, {meta.n_edges} edges, "
+          f"{len(meta.node_types)} node types, "
+          f"{len(meta.edge_types)} edge types, {nparts} partition(s)")
+    return meta
+
+
+if __name__ == "__main__":
+    main()

@@ -163,6 +163,9 @@ class GraphTensors:
     # returned by the sampling verbs are original rows — RGCN relation
     # lookup must go through this table, ops/feature_ops.get_edge_type)
     eid_type: Optional[jnp.ndarray] = None     # int32 [E]
+    # eid -> CSR slot inverse permutation, built once at load so verbs
+    # addressing edges by original id (Query.e) never argsort per run
+    eid_slot: Optional[jnp.ndarray] = None     # int32 [E]
 
     @property
     def n_nodes(self) -> int:
@@ -350,6 +353,8 @@ class Graph:
             adj_eid=put(adj_eid),
             **pack_fields,
             eid_type=put(etype[eorder].astype(np.int32)),
+            eid_slot=put(np.argsort(adj_eid, kind="stable"
+                                    ).astype(np.int32)),
             group_w_sum=put(group_w_sum),
             node_alias=put_alias(node_alias_np),
             edge_alias=put_alias(edge_alias_np),

@@ -86,7 +86,9 @@ class GATConv(nn.Module):
         # and expand per edge (linear ops commute with the gather)
         alpha = (block.gather_tgt(nn.Dense(1, use_bias=False)(h_tgt)) +
                  block.gather_src(nn.Dense(1, use_bias=False)(h_src)))
-        alpha = nn.leaky_relu(alpha)
+        # tf.nn.leaky_relu's default alpha is 0.2 (gat_conv.py:66), NOT
+        # flax's 0.01 — this changed attention values measurably
+        alpha = nn.leaky_relu(alpha, negative_slope=0.2)
         alpha = block.softmax(alpha, mask)
         xj = block.gather_src(h_src)
         out = block.scatter("add", xj * alpha, None)

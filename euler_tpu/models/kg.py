@@ -95,6 +95,132 @@ class TransX(nn.Module):
         return dict(loss=loss, logits=pos_scores, neg_logits=neg_scores,
                     embedding=src_e.reshape(B, -1))
 
+    def rank_against_all(self, g: GraphTensors, batch: Array,
+                         direction: str = "tail") -> Array:
+        """[B, n_entities] scores of each triple against EVERY entity as
+        the corrupted head/tail — the full-ranking evaluation the
+        reference reports FB15k MeanRank/Hit@10 with
+        (examples/TransX/README.md; protocol of transX.py:24-130 with the
+        negative set = the whole entity table). One dense broadcast that
+        XLA fuses into the [B, E] reduction; batch the triples to bound
+        the [B, E, dim] intermediate."""
+        src, dst, rel = batch[:, 0], batch[:, 1], batch[:, 2]
+        B = src.shape[0]
+        ents = jnp.arange(self.n_entities, dtype=jnp.int32)
+        rel_e = _l2norm(self.relation_encoder(jnp.maximum(rel, 0)))
+        # candidates projected under each row's relation: [B, E, d]
+        cand = self.project(self.entity_encoder(ents)[None],
+                            ents[None], rel[:, None])
+        cand = jnp.broadcast_to(cand, (B,) + cand.shape[1:])
+        if direction == "tail":
+            h = self.project(self.entity_encoder(jnp.maximum(src, 0)),
+                             src, rel)
+            return self.score(h[:, None, :], rel_e[:, None, :], cand)
+        if direction == "head":
+            t = self.project(self.entity_encoder(jnp.maximum(dst, 0)),
+                             dst, rel)
+            return self.score(cand, rel_e[:, None, :], t[:, None, :])
+        raise ValueError(direction)
+
+
+def rank_all_entities(model: "TransX", params, g: GraphTensors, triples,
+                      batch_size: int = 64, corrupt: str = "both",
+                      filter_known=None, hit_ks=(1, 3, 10)):
+    """Full-entity ranking evaluation: MeanRank / MRR / Hit@k of each test
+    triple against the WHOLE entity table.
+
+    reference: the FB15k numbers in examples/TransX/README.md (MeanRank
+    197 / Hit@10 39.7 for TransE) follow the TransE-paper protocol —
+    corrupt head and tail with every entity and rank the true one; the
+    reference's in-graph metric (transX.py:82-104) only approximates it
+    over sampled negatives.
+
+    triples: [T, 3] int array of (src, dst, relation).
+    corrupt: 'head' | 'tail' | 'both' (both averages the two directions).
+    filter_known: optional [K, 3] array of ALL true triples (train+valid+
+    test); candidates that form a known true triple other than the test
+    one are excluded from the ranking ("filtered" setting).
+    Returns dict with mr, mrr, hit@k per requested k.
+    """
+    import numpy as np
+
+    triples = np.asarray(triples, np.int32)
+    if triples.ndim != 2 or triples.shape[1] != 3:
+        raise ValueError(f"triples must be [T,3] (src,dst,rel); "
+                         f"got {triples.shape}")
+    T = triples.shape[0]
+    E = model.n_entities
+
+    # filtered setting: per direction keep (anchor*R+rel, other) pairs
+    # sorted lexicographically; anchor*R+rel fits int32 (<= E * R), the
+    # candidate membership test is a bounded binary search per [B, E] lane
+    # (the sparse_get_adj pattern) so no int64 key is ever needed
+    n_rel = model.n_relations
+    ftabs = None
+    if filter_known is not None:
+        fk = np.asarray(filter_known, np.int64)
+        ftabs = {}
+        for name, a, o in (("tail", 0, 1), ("head", 1, 0)):
+            pair = fk[:, a] * n_rel + fk[:, 2]
+            order = np.lexsort((fk[:, o], pair))
+            ftabs[name] = (jnp.asarray(pair[order], jnp.int32),
+                           jnp.asarray(fk[order, o], jnp.int32))
+
+    from functools import partial
+
+    @partial(jax.jit, static_argnames=("direction",))
+    def ranks_fn(params, batch, direction):
+        scores = model.apply(params, g, batch, method=model.rank_against_all,
+                             direction=direction)
+        tgt = batch[:, 1] if direction == "tail" else batch[:, 0]
+        pos = jnp.take_along_axis(scores, tgt[:, None], axis=1)
+        better = scores > pos
+        if ftabs is not None:
+            anchor = batch[:, 0] if direction == "tail" else batch[:, 1]
+            f_pair, f_other = ftabs[direction]
+            row_pair = anchor * n_rel + batch[:, 2]
+            lo = jnp.searchsorted(f_pair, row_pair, side="left")
+            hi = jnp.searchsorted(f_pair, row_pair, side="right")
+            B = batch.shape[0]
+            K = f_other.shape[0]
+            cand = jnp.broadcast_to(jnp.arange(E, dtype=jnp.int32)[None],
+                                    (B, E))
+            l = jnp.broadcast_to(lo[:, None], (B, E))
+            h = jnp.broadcast_to(hi[:, None], (B, E))
+
+            def body(_, carry):
+                l, h = carry
+                mid = (l + h) // 2
+                v = f_other[jnp.clip(mid, 0, K - 1)]
+                go = v < cand
+                return jnp.where(go, mid + 1, l), jnp.where(go, h, mid)
+
+            l, h = jax.lax.fori_loop(0, 32, body, (l, h))
+            found = (l < jnp.broadcast_to(hi[:, None], (B, E))) & \
+                (f_other[jnp.clip(l, 0, K - 1)] == cand)
+            known = found & (cand != tgt[:, None])
+            better = better & ~known
+        return 1 + jnp.sum(better, axis=1)
+
+    dirs = {"head": ["head"], "tail": ["tail"],
+            "both": ["tail", "head"]}[corrupt]
+    all_ranks = []
+    pad = (-T) % batch_size
+    padded = np.concatenate(
+        [triples, np.zeros((pad, 3), np.int32)]) if pad else triples
+    for d in dirs:
+        rs = []
+        for i in range(0, len(padded), batch_size):
+            rs.append(np.asarray(ranks_fn(params,
+                                          jnp.asarray(padded[i:i + batch_size]),
+                                          d)))
+        all_ranks.append(np.concatenate(rs)[:T])
+    ranks = np.concatenate(all_ranks).astype(np.float64)
+    out = {"mr": float(ranks.mean()), "mrr": float((1.0 / ranks).mean())}
+    for k in hit_ks:
+        out[f"hit{k}"] = float((ranks <= k).mean())
+    return out
+
 
 class TransE(TransX):
     """reference: transE.py — identity projection, normed embeddings."""

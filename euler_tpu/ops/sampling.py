@@ -450,6 +450,114 @@ def get_top_k_neighbor(g: GraphTensors, nodes: Array, edge_types, k: int,
         jnp.where(ok, eid, -1), ok
 
 
+# ---------------------------------------------------------------------------
+# in-neighbor verbs over the in-CSR (stores built with has_in_edges=True)
+# ---------------------------------------------------------------------------
+
+def _require_in_csr(g, name):
+    if _is_shard_view(g):
+        raise NotImplementedError(
+            f"{name} is not yet implemented under a graph-sharded mesh")
+    if getattr(g, "in_group_ptr", None) is None:
+        raise ValueError(
+            f"{name} needs the in-adjacency: build the graph with "
+            "has_in_edges=True (GraphMeta.has_in_edges)")
+
+
+def _in_group_bounds(g: GraphTensors, rows: Array, etype: Array):
+    gidx = rows * g.meta.num_edge_types + etype
+    return g.in_group_ptr[gidx], g.in_group_ptr[gidx + 1]
+
+
+def _fetch_in_slots(g: GraphTensors, s: Array, ty: Array, ok: Array,
+                    default_id: int):
+    nbr = jnp.where(ok, g.in_adj_src[s], default_id)
+    w = jnp.where(ok, g.in_adj_w[s], 0.0)
+    eid = jnp.where(ok, g.in_adj_eid[s], -1)
+    return nbr, w, jnp.where(ok, ty, -1), eid
+
+
+def sample_in_neighbor(g: GraphTensors, key, nodes: Array, edge_types,
+                       count: int, default_id: int = -1):
+    """Weighted in-neighbor sampling: ``count`` draws per node over the
+    union of (dst=node, etype) in-groups.
+
+    reference: Node::SampleInNeighbor (euler/core/graph/node.h:87-112, the
+    in-edge mirror of SampleNeighbor). Same O(1) per-group alias draws as
+    the out verb, over the in-CSR built at load time.
+    """
+    _require_in_csr(g, "sample_in_neighbor")
+    ets = _as_etypes(g, edge_types)
+    nodes = jnp.asarray(nodes, jnp.int32)
+    B = nodes.shape[0]
+    rows = jnp.maximum(nodes, 0)
+    kt, kd = jax.random.split(key)
+    et_arr = jnp.asarray(ets, jnp.int32)
+    W = g.in_group_w_sum[rows][:, et_arr]
+    cdf = jnp.cumsum(W, axis=1)
+    total = cdf[:, -1]
+    r = jax.random.uniform(kt, (B, count)) * total[:, None]
+    t_idx = jnp.minimum(
+        jnp.sum(r[:, :, None] >= cdf[:, None, :], axis=-1), len(ets) - 1)
+    etype = et_arr[t_idx]
+    lo, hi = _in_group_bounds(g, rows[:, None], etype)
+    pos = alias_draw(kd, g.in_adj_prob, g.in_adj_alias, lo, hi - lo,
+                     (B, count))
+    ok = (pos >= 0) & (nodes >= 0)[:, None] & (total > 0)[:, None]
+    return _fetch_in_slots(g, jnp.maximum(pos, 0), etype, ok, default_id)
+
+
+def get_full_in_neighbor(g: GraphTensors, nodes: Array, edge_types,
+                         cap: int, default_id: int = -1,
+                         sorted_by_id: bool = False):
+    """Padded full in-neighborhood, the mirror of get_full_neighbor.
+    reference: Node::GetFullInNeighbor / GetSortedFullInNeighbor
+    (euler/core/graph/node.h:87-112)."""
+    _require_in_csr(g, "get_full_in_neighbor")
+    ets = _as_etypes(g, edge_types)
+    nodes = jnp.asarray(nodes, jnp.int32)
+    B = nodes.shape[0]
+    rows = jnp.maximum(nodes, 0)
+    et_arr = jnp.asarray(ets, jnp.int32)
+    lo, hi = _in_group_bounds(g, rows[:, None], et_arr[None, :])  # [B,K]
+    deg = hi - lo
+    offs = jnp.concatenate(
+        [jnp.zeros((B, 1), deg.dtype), jnp.cumsum(deg, axis=1)], axis=1)
+    total = offs[:, -1]
+    j = jnp.arange(cap, dtype=jnp.int32)
+    k_idx = jnp.minimum(
+        jnp.sum(j[None, :, None] >= offs[:, None, 1:], axis=-1),
+        len(ets) - 1)
+    base = jnp.take_along_axis(lo, k_idx, axis=1)
+    off_k = jnp.take_along_axis(offs[:, :-1], k_idx, axis=1)
+    slot = base + (j[None, :] - off_k)
+    ok = (j[None, :] < total[:, None]) & (nodes >= 0)[:, None]
+    s = jnp.clip(slot, 0, g.in_adj_src.shape[0] - 1)
+    nbr, w, ty, eid = _fetch_in_slots(g, s, et_arr[k_idx], ok, default_id)
+    if sorted_by_id:
+        sort_key = jnp.where(ok, nbr, jnp.iinfo(jnp.int32).max)
+        order = jnp.argsort(sort_key, axis=1)
+        take = lambda x: jnp.take_along_axis(x, order, axis=1)
+        nbr, w, ty, eid, ok = (take(nbr), take(w), take(ty), take(eid),
+                               take(ok))
+    return nbr, w, ty, eid, ok
+
+
+def get_top_k_in_neighbor(g: GraphTensors, nodes: Array, edge_types, k: int,
+                          cap: int = None, default_id: int = -1):
+    """Top-k in-neighbors by edge weight (reference: node.h:100-112)."""
+    cap = cap or max(k, 16)
+    nbr, w, ty, eid, ok = get_full_in_neighbor(g, nodes, edge_types, cap,
+                                               default_id)
+    neg = jnp.where(ok, w, -jnp.inf)
+    _, idx = jax.lax.top_k(neg, k)
+    take = lambda x: jnp.take_along_axis(x, idx, axis=1)
+    nbr, w, ty, eid, ok = take(nbr), take(w), take(ty), take(eid), take(ok)
+    nbr = jnp.where(ok, nbr, default_id)
+    return nbr, jnp.where(ok, w, 0.0), jnp.where(ok, ty, -1), \
+        jnp.where(ok, eid, -1), ok
+
+
 def sample_fanout(g: GraphTensors, key, nodes: Array, edge_types_per_hop,
                   counts: Sequence[int], default_id: int = -1):
     """Multi-hop fanout sampling (GraphSAGE inner loop).

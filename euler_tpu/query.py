@@ -129,9 +129,13 @@ class Query:
 
         def step(g, st, key):
             ok = eids >= 0
-            # adj_eid is a permutation of [0, E); invert it once per run
-            inv = jnp.argsort(g.adj_eid)
-            slot = inv[jnp.maximum(eids, 0)]
+            if getattr(g, "eid_slot", None) is not None:
+                slot = g.eid_slot[jnp.maximum(eids, 0)]
+            else:
+                # adj_eid is a permutation of [0, E); invert per run only
+                # for stores predating the load-time inverse
+                inv = jnp.argsort(g.adj_eid)
+                slot = inv[jnp.maximum(eids, 0)]
             st["frontier"] = EdgeResult(
                 src=jnp.where(ok, g.adj_src[slot], -1),
                 dst=jnp.where(ok, g.adj_dst[slot], -1),
@@ -269,10 +273,14 @@ class Query:
     # -- values -------------------------------------------------------------
 
     def values(self, *names) -> "Query":
-        """Gather features of the current node frontier. Accepts dense
-        feature names, sparse feature names, and ``udf_*(name)`` wrappers
-        (reference: API_GET_P + udf framework)."""
+        """Gather features of the current frontier. Accepts dense feature
+        names, sparse feature names, and ``udf_*(name)`` wrappers; on an
+        edge frontier, edge-feature names resolve through the frontier's
+        edge ids (reference: API_GET_P on nodes AND edges + udf
+        framework, get_feature_op.cc)."""
         def step(g, st, key):
+            f = st["frontier"]
+            eids = f.eids.reshape(-1) if isinstance(f, EdgeResult) else None
             cur = _node_ids(st).reshape(-1)
             outs = []
             for n in names:
@@ -286,6 +294,12 @@ class Query:
                 elif n in g.sparse_nf:
                     outs.append(
                         feature_ops.get_sparse_feature(g, cur, (n,))[0])
+                elif eids is not None and n in g.dense_ef:
+                    outs.append(feature_ops.get_edge_dense_feature(
+                        g, eids, (n,))[0])
+                elif eids is not None and n in g.sparse_ef:
+                    outs.append(feature_ops.get_edge_sparse_feature(
+                        g, eids, (n,))[0])
                 else:
                     raise KeyError(f"unknown feature {n!r}")
             st["last_value"] = outs[0] if len(outs) == 1 else tuple(outs)

@@ -70,18 +70,42 @@ def run_graph_model(args, ds, graph, model, label_name="label",
     return _dispatch(args, ds, est)
 
 
+def kg_test_triples(ds, graph) -> np.ndarray:
+    """(head, rel, tail) dataset triples -> [T,3] (src, dst, etype) model
+    batches, mapping raw relation indices through the graph's type table."""
+    hrt = np.asarray(ds.test_triples, np.int64)
+    rel_to_type = np.asarray([graph.meta.edge_type_id(f"r{r}")
+                              for r in range(graph.meta.num_edge_types)])
+    return np.stack([hrt[:, 0], hrt[:, 2], rel_to_type[hrt[:, 1]]],
+                    axis=1).astype(np.int32)
+
+
+def _eval_ids(args, ds, est):
+    """The evaluation input: test triples for edge models with a KG
+    dataset (reference evaluates TransX from triple id files), node/graph
+    ids otherwise."""
+    if isinstance(est, EdgeEstimator) and hasattr(ds, "test_triples"):
+        return kg_test_triples(ds, est.graph)
+    return ds.test_ids
+
+
 def _dispatch(args, ds, est):
     if args.run_mode == "train":
         out = est.train()
     elif args.run_mode == "evaluate":
-        out = est.evaluate(ds.test_ids)
+        out = est.evaluate(_eval_ids(args, ds, est))
     elif args.run_mode == "infer":
         out_dir = args.infer_dir or args.model_dir
         emb = est.infer(ds.test_ids, out_dir=out_dir)
         out = {"embeddings": emb.shape}
     else:
         out = est.train()
-        out.update(est.evaluate(ds.test_ids))
+        out.update(est.evaluate(_eval_ids(args, ds, est)))
+    if args.run_mode in ("evaluate", "train_and_evaluate") and \
+            isinstance(est, EdgeEstimator) and hasattr(ds, "test_triples"):
+        # full-entity ranking: the protocol behind the reference's FB15k
+        # MeanRank/Hit@10 table (examples/TransX/README.md)
+        out.update(est.evaluate_ranking(kg_test_triples(ds, est.graph)))
     print(f"[euler_tpu] {args.run_mode} done: "
           f"{ {k: v for k, v in out.items()} }")
     return out

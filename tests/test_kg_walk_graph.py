@@ -27,6 +27,14 @@ def motif(tmp_path_factory):
     return ds, ds.load_graph()
 
 
+def _triples(graph, n, seed=5, edge_type=-1):
+    from euler_tpu.ops import sampling
+    src, dst, ty, _ = sampling.sample_edge(
+        graph.tensors, jax.random.PRNGKey(seed), n, edge_type)
+    return np.stack([np.asarray(src), np.asarray(dst), np.asarray(ty)],
+                    axis=1)
+
+
 @pytest.mark.parametrize("cls", [kg.TransE, kg.TransH, kg.TransR, kg.TransD,
                                  kg.DistMult])
 def test_kg_models_train(sbm, tmp_path, cls):
@@ -39,8 +47,20 @@ def test_kg_models_train(sbm, tmp_path, cls):
                     metric="mrr")
     est = EdgeEstimator(model, graph, cfg)
     res = est.train()
-    ev = est.evaluate(np.arange(64))
+    ev = est.evaluate(_triples(graph, 64))
     assert np.isfinite(res["loss"]) and np.isfinite(ev["mrr"])
+
+
+def test_edge_estimator_rejects_node_ids(sbm, tmp_path):
+    ds, graph = sbm
+    model = kg.TransE(n_entities=graph.meta.n_nodes,
+                      n_relations=graph.meta.num_edge_types,
+                      ent_dim=8, rel_dim=8)
+    est = EdgeEstimator(model, graph, RunConfig(
+        model_dir=str(tmp_path / "rej"), batch_size=16, total_steps=1,
+        log_steps=0))
+    with pytest.raises(ValueError, match="triples"):
+        est.evaluate(np.arange(16))
 
 
 def test_transe_mrr_improves(sbm, tmp_path):
@@ -52,10 +72,83 @@ def test_transe_mrr_improves(sbm, tmp_path):
                     total_steps=150, learning_rate=0.05, log_steps=0,
                     metric="mrr")
     est = EdgeEstimator(model, graph, cfg)
-    before = est.evaluate(np.arange(128))["mrr"]
+    test_triples = _triples(graph, 128)
+    before = est.evaluate(test_triples)["mrr"]
     est.train()
-    after = est.evaluate(np.arange(128))["mrr"]
+    after = est.evaluate(test_triples)["mrr"]
     assert after > before + 0.05, (before, after)
+
+
+@pytest.mark.parametrize("cls", [kg.TransE, kg.TransH, kg.TransR, kg.TransD,
+                                 kg.DistMult])
+def test_rank_all_entities_matches_bruteforce(sbm, tmp_path, cls):
+    """rank_against_all must equal scoring each candidate entity through
+    the model's own triple scorer; ranks must match a numpy argsort."""
+    ds, graph = sbm
+    g = graph.tensors
+    E = graph.meta.n_nodes
+    model = cls(n_entities=E, n_relations=graph.meta.num_edge_types,
+                ent_dim=8, rel_dim=8)
+    triples = _triples(graph, 6, seed=9)
+    params = model.init({"params": jax.random.PRNGKey(0),
+                         "sample": jax.random.PRNGKey(1)}, g,
+                        jnp.asarray(triples))
+    params = {"params": params["params"]}
+    scores = np.asarray(model.apply(
+        params, g, jnp.asarray(triples), method=model.rank_against_all,
+        direction="tail"))
+    # brute force: score (h, r, e) for every entity e via __call__'s
+    # positive path by substituting the tail
+    for row in range(len(triples)):
+        h, _, r = triples[row]
+        batch = np.stack([np.full(E, h), np.arange(E),
+                          np.full(E, r)], axis=1).astype(np.int32)
+        pos = np.asarray(model.apply(
+            params, g, jnp.asarray(batch), method=model.rank_against_all,
+            direction="tail"))
+        # the diagonal of pos == scoring e as tail directly
+        np.testing.assert_allclose(np.diag(pos), scores[row], rtol=2e-4,
+                                   atol=2e-5)
+    # rank bookkeeping vs numpy
+    res = kg.rank_all_entities(model, params, g, triples, batch_size=4,
+                               corrupt="tail")
+    want_ranks = 1 + (scores >
+                      scores[np.arange(len(triples)),
+                             triples[:, 1]][:, None]).sum(1)
+    assert res["mr"] == pytest.approx(want_ranks.mean())
+    assert res["mrr"] == pytest.approx((1.0 / want_ranks).mean())
+
+
+def test_rank_all_entities_filtered(sbm):
+    """Known true triples are excluded from the candidate ranking."""
+    ds, graph = sbm
+    g = graph.tensors
+    E = graph.meta.n_nodes
+    model = kg.TransE(n_entities=E, n_relations=graph.meta.num_edge_types,
+                      ent_dim=8, rel_dim=8)
+    triples = _triples(graph, 8, seed=11)
+    params = model.init({"params": jax.random.PRNGKey(0),
+                         "sample": jax.random.PRNGKey(1)}, g,
+                        jnp.asarray(triples))
+    params = {"params": params["params"]}
+    scores = np.asarray(model.apply(
+        params, g, jnp.asarray(triples), method=model.rank_against_all,
+        direction="tail"))
+    # declare the top-scoring non-true candidate of each row as "known"
+    pos_s = scores[np.arange(len(triples)), triples[:, 1]]
+    masked = scores.copy()
+    masked[np.arange(len(triples)), triples[:, 1]] = -np.inf
+    best = masked.argmax(1)
+    known = np.stack([triples[:, 0], best, triples[:, 2]], axis=1)
+    raw = kg.rank_all_entities(model, params, g, triples, batch_size=4,
+                               corrupt="tail")
+    filt = kg.rank_all_entities(model, params, g, triples, batch_size=4,
+                                corrupt="tail", filter_known=known)
+    # every row whose best competitor was filtered improves by exactly the
+    # rows where best scored above the positive
+    gain = (scores[np.arange(len(triples)), best] > pos_s).sum()
+    assert raw["mr"] - filt["mr"] == pytest.approx(gain / len(triples))
+    assert filt["mr"] <= raw["mr"]
 
 
 def test_deepwalk_trains(sbm, tmp_path):

@@ -1,0 +1,147 @@
+"""Golden-value conv parity tests.
+
+Hand-computed expected outputs under the reference's EXACT semantics
+(reference: tf_euler/python/convolution/gcn_conv.py:26-54 sym-norm,
+sage_conv.py:26-44 mean aggregation, gat_conv.py:41-75 leaky-relu(0.2)
+attention + scatter_softmax, gin_conv.py (1+eps)x + sum; test model
+tf_euler/python/convolution/conv_test.py and graph_test.cc:92-140).
+
+The expected values are re-derived in numpy from the reference formulas —
+any semantics drift in a conv (normalization, masking, aggregation order,
+activation constants) fails these, where shape tests would not.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from euler_tpu.dataflow.block import Block
+from euler_tpu.models import convs
+
+# Fixed bipartite block: 3 targets, 5 sources (targets are sources 0..2),
+# 6 real edges + 1 padded edge (mask 0). edge_index rows: [dst, src].
+DST = np.array([0, 0, 1, 1, 2, 2, 2], np.int32)
+SRC = np.array([3, 4, 0, 3, 1, 4, 2], np.int32)
+MASK = np.array([1, 1, 1, 1, 1, 1, 0], np.float32)
+T, S, D = 3, 5, 2
+
+RNG = np.random.default_rng(7)
+X = RNG.normal(size=(S, D)).astype(np.float32)
+W1 = RNG.normal(size=(D, D)).astype(np.float32)
+W2 = RNG.normal(size=(D, D)).astype(np.float32)
+A1 = RNG.normal(size=(D, 1)).astype(np.float32)
+A2 = RNG.normal(size=(D, 1)).astype(np.float32)
+
+
+def _block():
+    return Block(
+        n_id=jnp.arange(S, dtype=jnp.int32),
+        res_n_id=jnp.arange(T, dtype=jnp.int32),
+        edge_index=jnp.asarray(np.stack([DST, SRC])),
+        e_id=jnp.full((len(DST),), -1, jnp.int32),
+        edge_weight=jnp.ones((len(DST),), jnp.float32),
+        mask=jnp.asarray(MASK),
+        size=(T, S),
+    )
+
+
+def _apply(conv, params):
+    blk = _block()
+    x = jnp.asarray(X)
+    return np.asarray(conv.apply(params, (x[:T], x), blk))
+
+
+def _edges():
+    return [(d, s) for d, s, m in zip(DST, SRC, MASK) if m > 0]
+
+
+def test_gcn_golden():
+    conv = convs.GCNConv(dim=D)
+    params = {"params": {"Dense_0": {"kernel": jnp.asarray(W1)}}}
+    # reference gcn_conv.py:33-46: deg from scatter_add of ones over real
+    # edges on each side, out = fc(sum_j deg_i^-.5 deg_j^-.5 x_j)
+    deg_t = np.zeros(T)
+    deg_s = np.zeros(S)
+    for d, s in _edges():
+        deg_t[d] += 1
+        deg_s[s] += 1
+    ni = np.where(deg_t > 0, deg_t, 1.0) ** -0.5
+    nj = np.where(deg_s > 0, deg_s, 1.0) ** -0.5
+    aggr = np.zeros((T, D))
+    for d, s in _edges():
+        aggr[d] += ni[d] * nj[s] * X[s]
+    want = aggr @ W1
+    np.testing.assert_allclose(_apply(conv, params), want, rtol=1e-5,
+                               atol=1e-6)
+
+
+def test_sage_golden():
+    conv = convs.SAGEConv(dim=D)
+    params = {"params": {"Dense_0": {"kernel": jnp.asarray(W1)},
+                         "Dense_1": {"kernel": jnp.asarray(W2)}}}
+    # reference sage_conv.py:26-44: self_fc(x) + neigh_fc(mean_j x_j)
+    aggr = np.zeros((T, D))
+    cnt = np.zeros(T)
+    for d, s in _edges():
+        aggr[d] += X[s]
+        cnt[d] += 1
+    mean = aggr / np.maximum(cnt, 1)[:, None]
+    want = X[:T] @ W1 + mean @ W2
+    np.testing.assert_allclose(_apply(conv, params), want, rtol=1e-5,
+                               atol=1e-6)
+
+
+def test_gat_golden():
+    conv = convs.GATConv(dim=D)
+    params = {"params": {"Dense_0": {"kernel": jnp.asarray(W1)},
+                         "Dense_1": {"kernel": jnp.asarray(A1)},
+                         "Dense_2": {"kernel": jnp.asarray(A2)}}}
+    # reference gat_conv.py:64-70: h = fc(x); per-edge
+    # alpha = leaky_relu(att_i(h_i) + att_j(h_j), 0.2) -> per-target
+    # softmax over real edges -> out = sum_j alpha_j h_j
+    H = X @ W1
+    ai = (H @ A1)[:, 0]
+    aj = (H @ A2)[:, 0]
+    out = np.zeros((T, D))
+    for t in range(T):
+        es = [(d, s) for d, s in _edges() if d == t]
+        sc = np.array([ai[t] + aj[s] for _, s in es])
+        sc = np.where(sc > 0, sc, 0.2 * sc)
+        e = np.exp(sc - sc.max())
+        p = e / e.sum()
+        for w, (_, s) in zip(p, es):
+            out[t] += w * H[s]
+    np.testing.assert_allclose(_apply(conv, params), out, rtol=1e-5,
+                               atol=1e-6)
+
+
+def test_gin_golden():
+    conv = convs.GINConv(dim=D, eps=0.3, train_eps=False)
+    params = {"params": {"Dense_0": {"kernel": jnp.asarray(W1)}}}
+    # reference gin_conv.py: fc((1 + eps) * x + sum_j x_j)
+    aggr = np.zeros((T, D))
+    for d, s in _edges():
+        aggr[d] += X[s]
+    want = ((1 + 0.3) * X[:T] + aggr) @ W1
+    np.testing.assert_allclose(_apply(conv, params), want, rtol=1e-5,
+                               atol=1e-6)
+
+
+def test_graphconv_golden():
+    conv = convs.GraphConv(dim=D)
+    params = conv.init(jax.random.PRNGKey(0),
+                       (jnp.asarray(X[:T]), jnp.asarray(X)), _block())
+    params = jax.tree.map(lambda a: a, params)
+    k0 = np.asarray(params["params"]["Dense_0"]["kernel"])
+    k1 = np.asarray(params["params"]["Dense_1"]["kernel"])
+    b1 = np.asarray(params["params"]["Dense_1"]["bias"])
+    # reference graph_conv.py: fc(x_j) -> mean -> + linear(x) (with bias)
+    H = X @ k0
+    aggr = np.zeros((T, D))
+    cnt = np.zeros(T)
+    for d, s in _edges():
+        aggr[d] += H[s]
+        cnt[d] += 1
+    want = X[:T] @ k1 + b1 + aggr / np.maximum(cnt, 1)[:, None]
+    np.testing.assert_allclose(_apply(conv, params), want, rtol=1e-5,
+                               atol=1e-6)

@@ -121,6 +121,18 @@ def test_e_lookup(toy):
         assert int(ext[int(f.dst[k])]) == d
 
 
+def test_e_values_edge_features(toy):
+    # e(edges).values(edge_feature) resolves through the frontier's eids
+    # (reference: API_GET_P applies to edges too, get_feature_op.cc)
+    g = toy
+    eids = [1, 8, 10]
+    out = Query(g).e(jnp.asarray(eids, jnp.int32)).values("edense").run(
+        jax.random.PRNGKey(6))
+    got = np.asarray(out["_value"]).ravel()
+    want = [EDGES[e][3] * 10.0 for e in eids]
+    np.testing.assert_allclose(got, want)
+
+
 def test_sampleLNB_layer(toy):
     g = toy
     click = g.meta.edge_type_id("click")

@@ -58,6 +58,56 @@ def test_sample_node_with_src_padded_rows(toy_graph):
     assert (out[1] == -1).all()
 
 
+def test_get_full_in_neighbor(toy_graph):
+    # in-neighbors of 101: click from 100 (w1), 102 (w2); buy from 104 (w4)
+    g = toy_graph.tensors
+    nodes = jnp.asarray(toy_graph.local_ids([101, 100, 106]), jnp.int32)
+    nbr, w, ty, eid, ok = sampling.get_full_in_neighbor(g, nodes, (0, 1), 6)
+    nbr, w, ty, ok = map(np.asarray, (nbr, w, ty, ok))
+    exts = toy_graph.ext_ids
+    got = {(int(exts[n]), float(wt)) for n, wt, o in
+           zip(nbr[0], w[0], ok[0]) if o}
+    assert got == {(100, 1.0), (102, 2.0), (104, 4.0)}
+    got1 = {(int(exts[n]), float(wt)) for n, wt, o in
+            zip(nbr[1], w[1], ok[1]) if o}
+    assert got1 == {(101, 1.0), (103, 1.0)}
+    assert not ok[2].any()          # 106 has no in-edges
+    # types come from the owning group
+    et_click = _et(g, "click")
+    l100 = toy_graph.local_id(100)
+    click_rows = [i for i in range(6) if ok[0][i] and nbr[0][i] == l100]
+    assert all(ty[0][i] == et_click for i in click_rows)
+
+
+def test_sample_in_neighbor_distribution(toy_graph):
+    g = toy_graph.tensors
+    node = jnp.asarray([toy_graph.local_id(101)], jnp.int32)
+    nbr, w, ty, eid = sampling.sample_in_neighbor(
+        g, jax.random.PRNGKey(5), node, (0, 1), 30_000)
+    nbr = np.asarray(nbr)[0]
+    exts = toy_graph.ext_ids[nbr]
+    freq = {e: (exts == e).mean() for e in (100, 102, 104)}
+    np.testing.assert_allclose([freq[100], freq[102], freq[104]],
+                               np.array([1, 2, 4]) / 7, atol=0.01)
+
+
+def test_get_top_k_in_neighbor(toy_graph):
+    g = toy_graph.tensors
+    node = jnp.asarray([toy_graph.local_id(101)], jnp.int32)
+    nbr, w, ty, eid, ok = sampling.get_top_k_in_neighbor(g, node, (0, 1), 2)
+    exts = toy_graph.ext_ids[np.asarray(nbr)[0]]
+    np.testing.assert_array_equal(exts, [104, 102])
+    np.testing.assert_allclose(np.asarray(w)[0], [4.0, 2.0])
+
+
+def test_in_neighbor_requires_in_csr():
+    from euler_tpu.datasets.random_graph import random_graph
+    g = random_graph(20, 3, build_in_edges=False).tensors
+    with pytest.raises(ValueError, match="has_in_edges"):
+        sampling.sample_in_neighbor(g, jax.random.PRNGKey(0),
+                                    jnp.asarray([0]), (0,), 4)
+
+
 def test_sample_edge(toy_graph):
     g = toy_graph.tensors
     et_buy = _et(g, "buy")
