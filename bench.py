@@ -90,10 +90,15 @@ def main():
         node_features=(FeatureSpec("feature", "dense", feat_dim),
                        FeatureSpec("label", "dense", n_classes)))
 
+    # bfloat16 on the chip: halves the dominant HBM traffic (the
+    # [S_src, D] random feature row gather + per-edge views); f32 on the
+    # CPU backend where bf16 is software-emulated (slow)
+    act_dtype = jnp.bfloat16 if on_tpu else jnp.float32
+
     @jax.jit
     def make_features():
         kf, kl = jax.random.split(jax.random.PRNGKey(42))
-        feat = jax.random.normal(kf, (n_nodes, feat_dim), jnp.float32)
+        feat = jax.random.normal(kf, (n_nodes, feat_dim), act_dtype)
         cls = jax.random.randint(kl, (n_nodes,), 0, n_classes)
         lab = jax.nn.one_hot(cls, n_classes, dtype=jnp.float32)
         return feat, lab
@@ -116,7 +121,8 @@ def main():
     feat = encoders.ShallowEncoder(dense_names=("feature",))
     net = gnn.GNNNet(conv="sage",
                      flow=flows.SageDataFlow(fanout, [(0,), (0,)]),
-                     dims=(128, 128), feature=feat)
+                     dims=(128, 128), feature=feat,
+                     dtype=act_dtype if on_tpu else None)
     model = gnn.SuperviseModel(embedder=net, label_name="label",
                                label_dim=n_classes)
     tx = optax.adam(1e-3)
@@ -170,16 +176,21 @@ def main():
     edges_per_step = batch * fanout[0] + batch * fanout[0] * fanout[1] \
         + batch + batch * fanout[0]
 
-    # warmup/compile. NB: sync via float(loss) (device->host copy), not
+    # AOT compile so the (slow, variable on the remote-compile service)
+    # build phase is fully separated from the first timed execution — the
+    # provisional result lands within one loop of compile finishing
+    compiled = run_loop.lower(g, params, opt_state,
+                              jax.random.PRNGKey(2)).compile()
+    # warmup exec. NB: sync via float(loss) (device->host copy), not
     # block_until_ready — on tunneled device platforms the latter can
     # return before execution finishes, inflating throughput ~100x.
-    fp, params, opt_state, loss = run_loop(g, params, opt_state,
+    fp, params, opt_state, loss = compiled(g, params, opt_state,
                                            jax.random.PRNGKey(2))
     g = g.replace(fan_pack=fp)
     float(loss)
     # timed warmup loop -> provisional result (salvageable on timeout)
     t0 = time.perf_counter()
-    fp, params, opt_state, loss = run_loop(g, params, opt_state,
+    fp, params, opt_state, loss = compiled(g, params, opt_state,
                                            jax.random.PRNGKey(100))
     g = g.replace(fan_pack=fp)
     float(loss)
@@ -188,7 +199,7 @@ def main():
     outer = 4 if on_tpu else 2
     t0 = time.perf_counter()
     for i in range(outer):
-        fp, params, opt_state, loss = run_loop(g, params, opt_state,
+        fp, params, opt_state, loss = compiled(g, params, opt_state,
                                                jax.random.PRNGKey(3 + i))
         g = g.replace(fan_pack=fp)
     float(loss)

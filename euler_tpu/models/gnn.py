@@ -36,6 +36,11 @@ class GNNNet(nn.Module):
     feature: nn.Module
     conv_kwargs: dict = None
     relation_from_etype: bool = False  # feed edge types as RGCN edge_attr
+    # mixed precision: cast activations to this dtype between stages
+    # (params stay f32; the big memory movers — the [S_src, D] feature
+    # set, per-edge views, aggregations — halve their HBM traffic in
+    # bfloat16, the TPU-native training dtype). None = full f32.
+    dtype: Any = None
 
     def _make_conv(self, dim, i):
         cls = convs_lib.get_conv_class(self.conv)
@@ -53,6 +58,8 @@ class GNNNet(nn.Module):
                 "e_id=-1)")
         blocks = self.flow(g, key, roots)
         x = self.feature(g, blocks[0].n_id)
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         for i, block in enumerate(blocks):
             conv = self._make_conv(self.dims[i], i)
             x_tgt = x[: block.size[0]]
@@ -68,6 +75,8 @@ class GNNNet(nn.Module):
             else:
                 x = conv((x_tgt, x), block)
             x = nn.relu(x)
+            if self.dtype is not None:
+                x = x.astype(self.dtype)
         if x.shape[0] != roots.shape[0]:
             # whole-graph flow: pick out the requested rows
             x = jnp.where((roots >= 0)[:, None],

@@ -237,7 +237,15 @@ def sample_neighbor_fast(g: GraphTensors, key, nodes: Array, edge_types,
     for the full (weights/types/eids) payload.
     """
     ets = _as_etypes(g, edge_types)
-    if _is_shard_view(g) or getattr(g, "fan_pack", None) is None:
+    if _is_shard_view(g):
+        if getattr(g, "fan_pack", None) is not None:
+            from euler_tpu.parallel import sharded
+            return sharded.sample_neighbor_fast_sharded(
+                g, key, nodes, ets, count, default_id)
+        nbr, w, ty, eid = sample_neighbor(g, key, nodes, ets, count,
+                                          default_id)
+        return nbr, ty >= 0
+    if getattr(g, "fan_pack", None) is None:
         nbr, w, ty, eid = sample_neighbor(g, key, nodes, ets, count,
                                           default_id)
         return nbr, ty >= 0

@@ -37,8 +37,10 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from euler_tpu.graph import convert as _convert
 from euler_tpu.graph.meta import DENSE, SPARSE, GraphMeta
 from euler_tpu.graph.store import AliasTables, Graph
-from euler_tpu.ops.alias import alias_draw, build_group_alias, \
-    build_typed_alias_tables
+from euler_tpu.ops.alias import (FAN_ALIAS_OFF, FAN_D, FAN_KEPT_OFF,
+                                 FAN_PROB_OFF, alias_draw,
+                                 build_fan_pack, build_group_alias,
+                                 build_typed_alias_tables)
 
 Array = jnp.ndarray
 
@@ -83,6 +85,14 @@ class ShardedGraphTensors:
     shard_node_w: Array     # [S, NT]
     shard_edge_w: Array     # [S, ET]
 
+    # per-shard hot-path packs (same layouts as the single-chip store,
+    # graph/store.py) so multi-chip sampling takes the same O(1) row-gather
+    # paths instead of per-column gathers
+    group_pack: Optional[Array] = None    # [S, n_max*ET, 2]
+    adj_pack: Optional[Array] = None      # [S, e_max, 4]
+    sample_pack: Optional[Array] = None   # [S, e_max, 9]
+    fan_pack: Optional[Array] = None      # [S, n_max*ET, 128]
+
 
 @struct.dataclass
 class ShardView:
@@ -114,6 +124,10 @@ class ShardView:
     eid_slot: Array
     shard_node_w: Array
     shard_edge_w: Array
+    group_pack: Optional[Array] = None
+    adj_pack: Optional[Array] = None
+    sample_pack: Optional[Array] = None
+    fan_pack: Optional[Array] = None
 
     @property
     def my_shard(self):
@@ -196,18 +210,42 @@ def _pad_shard_fields(meta: GraphMeta, core, n_max, e_max,
         return dict(ids=t["ids"], type_ptr=t["type_ptr"].astype(np.int32),
                     prob=t["prob"], alias=t["alias"], w_sum=t["w_sum"])
 
+    # hot-path packs over the padded local CSR — the same layouts the
+    # single-chip store builds (graph/store.py pack_fields), so sharded
+    # sampling reads ONE packed row per draw instead of 4-6 column gathers
+    from euler_tpu.graph.store import _adj_pack_np, _sample_pack_np
+    gp32 = gp_full.astype(np.int32)
+    adj_dst_p = pade(core["col"], -1)
+    adj_type_p = pade(core["ety"], -1)
+    adj_eid_p = pade(core["eid"], -1)
+    adj_w_p = pade(core["w"])
+    adj_prob_p = pade(gprob, 1.0)
+    adj_alias_p = pade(galias)
+    # packs are built over the UNPADDED local CSR (group_ptr only covers
+    # real slots), then padded; pad rows are never addressed (draw slots
+    # are clipped to group sizes)
+    adj_pack_u = _adj_pack_np(core["col"], core["ety"], core["eid"],
+                              core["w"])
+    sample_pack_u = _sample_pack_np(gp_full, gprob, galias, adj_pack_u)
+    gws32 = gws.astype(np.float32)
+
     return dict(
         node_type=padn(own_node_type, -1),
         node_w=padn(own_node_w),
-        group_ptr=gp_full.astype(np.int32),
-        adj_dst=pade(core["col"], -1),
-        adj_type=pade(core["ety"], -1),
-        adj_w=pade(core["w"]),
+        group_ptr=gp32,
+        adj_dst=adj_dst_p,
+        adj_type=adj_type_p,
+        adj_w=adj_w_p,
         adj_w_cumsum=pade(cw, last),
-        adj_eid=pade(core["eid"], -1),
-        group_w_sum=gws.astype(np.float32).reshape(n_max, ET),
-        adj_prob=pade(gprob, 1.0),
-        adj_alias=pade(galias),
+        adj_eid=adj_eid_p,
+        group_w_sum=gws32.reshape(n_max, ET),
+        adj_prob=adj_prob_p,
+        adj_alias=adj_alias_p,
+        group_pack=np.stack([gp32[:-1], gp32[1:]], axis=1),
+        adj_pack=pade(adj_pack_u, -1),
+        sample_pack=pade(sample_pack_u),
+        fan_pack=build_fan_pack(gp_full, core["col"], gprob, galias,
+                                gws32),
         node_alias=alias_dict(na),
         edge_alias=alias_dict(ea),
         dense_nf={k: padn(v) for k, v in dense_nf_own.items()},
@@ -378,6 +416,14 @@ def to_view(sg_block: "ShardedGraphTensors", axis: str) -> ShardView:
         # replicated tables keep their full [S, ...] shape
         shard_node_w=sg_block.shard_node_w,
         shard_edge_w=sg_block.shard_edge_w,
+        group_pack=None if sg_block.group_pack is None
+        else sq(sg_block.group_pack),
+        adj_pack=None if sg_block.adj_pack is None
+        else sq(sg_block.adj_pack),
+        sample_pack=None if sg_block.sample_pack is None
+        else sq(sg_block.sample_pack),
+        fan_pack=None if sg_block.fan_pack is None
+        else sq(sg_block.fan_pack),
     )
 
 
@@ -404,12 +450,37 @@ def _take_mine(view: ShardView, res: Array, b: int):
 
 
 def _combine_ids(owned, local_ids, axis, default=-1):
-    """Merge per-shard id results (exactly one owner per slot)."""
+    """Merge per-shard id results into a REPLICATED array (every shard
+    gets the whole thing — root sampling etc.)."""
     return _psum(jnp.where(owned, local_ids - default, 0), axis) + default
 
 
 def _combine(owned, vals, axis):
     return _psum(jnp.where(owned, vals, 0), axis)
+
+
+def _owner_to_mine(view: ShardView, vals: Array, b: int):
+    """[S*b, ...] per-owner partial answers (0 where not owned) -> this
+    shard's combined [b, ...] rows.
+
+    One tiled all_to_all: chunk j of my answers travels to shard j only,
+    then the owner contributions for MY rows are summed locally (each row
+    has exactly one owner). Replaces psum-over-[S*b,...] + dynamic-slice
+    — the all-reduce moved ~2x the payload and materialized every
+    shard's results everywhere (the reference routes replies only to the
+    querying client, remote_op.cc:60-146 + the *_MERGE kernels)."""
+    ex = jax.lax.all_to_all(vals, view.axis, split_axis=0, concat_axis=0,
+                            tiled=True)
+    return ex.reshape((view.num_shards, b) + vals.shape[1:]).sum(axis=0)
+
+
+def _route_ids(view, owned, local_ids, b, default=-1):
+    z = jnp.where(owned, local_ids - default, 0)
+    return _owner_to_mine(view, z, b) + default
+
+
+def _route_vals(view, owned, vals, b):
+    return _owner_to_mine(view, jnp.where(owned, vals, 0), b)
 
 
 def _own_rows(view: ShardView, nodes: Array):
@@ -422,6 +493,9 @@ def _own_rows(view: ShardView, nodes: Array):
 def _group_bounds_local(view: ShardView, rows, etype):
     ET = view.meta.num_edge_types
     gidx = rows * ET + etype
+    if view.group_pack is not None:
+        gp = view.group_pack[gidx]       # one packed row read, not two
+        return gp[..., 0], gp[..., 1]
     return view.group_ptr[gidx], view.group_ptr[gidx + 1]
 
 
@@ -444,24 +518,105 @@ def sample_neighbor_sharded(view: ShardView, key, nodes, ets, count,
     etype = et_arr[t_idx]
 
     lo, hi = _group_bounds_local(view, rows[:, None], etype)
-    # O(1) per-group alias draw (see ops/sampling._weighted_group_draw)
-    slot = alias_draw(kd, view.adj_prob, view.adj_alias, lo, hi - lo,
-                      (B, count))
-    slot = jnp.maximum(slot, 0)
-    ok = owned[:, None] & (hi > lo) & (total > 0)[:, None]
-    s = jnp.clip(slot, 0, view.adj_dst.shape[0] - 1)
-    nbr = jnp.where(ok, view.adj_dst[s], default_id)
-    w = jnp.where(ok, view.adj_w[s], 0.0)
-    ty = jnp.where(ok, view.adj_type[s], -1)
-    eid = jnp.where(ok, view.adj_eid[s], -1)
+    if view.sample_pack is not None:
+        # fused pre-resolved alias rows: ONE random row read per draw
+        # (the single-chip sample_pack path, ops/sampling.sample_neighbor)
+        size = hi - lo
+        k1, k2 = jax.random.split(kd)
+        u1 = jax.random.uniform(k1, (B, count))
+        u2 = jax.random.uniform(k2, (B, count))
+        slot = jnp.minimum((u1 * size).astype(jnp.int32),
+                           jnp.maximum(size - 1, 0))
+        row = view.sample_pack[jnp.clip(lo + slot, 0,
+                                        view.sample_pack.shape[0] - 1)]
+        prob = jax.lax.bitcast_convert_type(row[..., 0], jnp.float32)
+        sel = jnp.where((u2 < prob)[..., None], row[..., 1:5], row[..., 5:9])
+        ok = owned[:, None] & (size > 0) & (total > 0)[:, None]
+        nbr = jnp.where(ok, sel[..., 0], default_id)
+        ty = jnp.where(ok, sel[..., 1], -1)
+        eid = jnp.where(ok, sel[..., 2], -1)
+        w = jnp.where(ok, jax.lax.bitcast_convert_type(sel[..., 3],
+                                                       jnp.float32), 0.0)
+    else:
+        # O(1) per-group alias draw (see ops/sampling._weighted_group_draw)
+        slot = alias_draw(kd, view.adj_prob, view.adj_alias, lo, hi - lo,
+                          (B, count))
+        slot = jnp.maximum(slot, 0)
+        ok = owned[:, None] & (hi > lo) & (total > 0)[:, None]
+        s = jnp.clip(slot, 0, view.adj_dst.shape[0] - 1)
+        nbr = jnp.where(ok, view.adj_dst[s], default_id)
+        w = jnp.where(ok, view.adj_w[s], 0.0)
+        ty = jnp.where(ok, view.adj_type[s], -1)
+        eid = jnp.where(ok, view.adj_eid[s], -1)
 
-    ax = view.axis
     own_any = owned[:, None]
-    nbr = _take_mine(view, _combine_ids(own_any, nbr, ax, default_id), b)
-    w = _take_mine(view, _combine(own_any, w, ax), b)
-    ty = _take_mine(view, _combine_ids(own_any, ty, ax, -1), b)
-    eid = _take_mine(view, _combine_ids(own_any, eid, ax, -1), b)
+    nbr = _route_ids(view, own_any, nbr, b, default_id)
+    w = _route_vals(view, own_any, w, b)
+    ty = _route_ids(view, own_any, ty, b, -1)
+    eid = _route_ids(view, own_any, eid, b, -1)
     return nbr, w, ty, eid
+
+
+def sample_neighbor_fast_sharded(view: ShardView, key, nodes, ets, count,
+                                 default_id=-1):
+    """Ids-only sampling over the per-shard packed fan rows — the sharded
+    mirror of ops.sampling.sample_neighbor_fast: each owner serves every
+    draw for a root from ONE 128-lane fan-row gather, then only the drawn
+    ids ride the combine collective. Returns (ids [b, count], valid)."""
+    nodes = jnp.asarray(nodes, jnp.int32)
+    b = nodes.shape[0]
+    nodes = _spread(view, nodes)
+    B = nodes.shape[0]
+    owned, rows = _own_rows(view, nodes)
+    ET = view.meta.num_edge_types
+    et_arr = jnp.asarray(ets, jnp.int32)
+    K = len(ets)
+
+    packs = view.fan_pack[rows[:, None] * ET + et_arr[None, :]]  # [B,K,128]
+    deg = packs[..., 0]
+    wsum = jax.lax.bitcast_convert_type(packs[..., 1], jnp.float32)
+    prob_bank = packs[..., FAN_PROB_OFF:FAN_PROB_OFF + FAN_D]
+    kept_bank = packs[..., FAN_KEPT_OFF:FAN_KEPT_OFF + FAN_D]
+    alias_bank = packs[..., FAN_ALIAS_OFF:FAN_ALIAS_OFF + FAN_D]
+
+    if K == 1:
+        total = wsum[:, 0]
+        deg_c = jnp.broadcast_to(deg[:, 0:1], (B, count))
+        k1, k2 = jax.random.split(key)
+        u1 = jax.random.uniform(k1, (B, count))
+        u2 = jax.random.uniform(k2, (B, count))
+        slot = jnp.minimum((u1 * deg_c).astype(jnp.int32),
+                           jnp.maximum(deg_c - 1, 0))
+        oh = (slot[..., None] ==
+              jnp.arange(FAN_D, dtype=jnp.int32)).astype(jnp.int32)
+        pick = lambda bank: jnp.einsum("bcd,bd->bc", oh, bank[:, 0, :])
+    else:
+        kt, kd = jax.random.split(key)
+        cdf = jnp.cumsum(wsum, axis=1)
+        total = cdf[:, -1]
+        r = jax.random.uniform(kt, (B, count)) * total[:, None]
+        kidx = jnp.minimum(
+            jnp.sum(r[:, :, None] >= cdf[:, None, :], axis=-1), K - 1)
+        ohk = (kidx[..., None] ==
+               jnp.arange(K, dtype=jnp.int32)).astype(jnp.int32)
+        deg_c = jnp.einsum("bck,bk->bc", ohk, deg)
+        k1, k2 = jax.random.split(kd)
+        u1 = jax.random.uniform(k1, (B, count))
+        u2 = jax.random.uniform(k2, (B, count))
+        slot = jnp.minimum((u1 * deg_c).astype(jnp.int32),
+                           jnp.maximum(deg_c - 1, 0))
+        ohs = (slot[..., None] ==
+               jnp.arange(FAN_D, dtype=jnp.int32)).astype(jnp.int32)
+        oh = ohk[:, :, :, None] * ohs[:, :, None, :]
+        pick = lambda bank: jnp.einsum("bckd,bkd->bc", oh, bank)
+
+    prob = jax.lax.bitcast_convert_type(pick(prob_bank), jnp.float32)
+    ids = jnp.where(u2 < prob, pick(kept_bank), pick(alias_bank))
+    ok = owned[:, None] & (deg_c > 0) & (total > 0)[:, None]
+    ids = jnp.where(ok, ids, default_id)
+    ids = _route_ids(view, owned[:, None], ids, b, default_id)
+    valid = _route_vals(view, owned[:, None], ok.astype(jnp.int32), b) > 0
+    return jnp.where(valid, ids, default_id), valid
 
 
 def get_dense_feature_sharded(view: ShardView, nodes, names):
@@ -475,7 +630,7 @@ def get_dense_feature_sharded(view: ShardView, nodes, names):
     for n in names:
         tab = view.dense_nf[n]
         v = jnp.where(owned[:, None], tab[rows], 0.0)
-        v = _take_mine(view, _psum(v, view.axis), b)
+        v = _owner_to_mine(view, v, b)
         out.append(v.reshape(shape_in + (tab.shape[-1],)))
     return out
 
@@ -491,7 +646,7 @@ def get_sparse_feature_sharded(view: ShardView, nodes, names):
     for n in names:
         tab, _ = view.sparse_nf[n]
         ids = jnp.where(owned[:, None], tab[rows] + 1, 0)
-        ids = _take_mine(view, _psum(ids, view.axis), b) - 1
+        ids = _owner_to_mine(view, ids, b) - 1
         ids = ids.reshape(shape_in + (tab.shape[-1],))
         out.append((ids, ids >= 0))
     return out
@@ -505,7 +660,7 @@ def get_node_type_sharded(view: ShardView, nodes):
     flat_all = _spread(view, flat_in)
     owned, rows = _own_rows(view, flat_all)
     ty = jnp.where(owned, view.node_type[rows] + 1, 0)
-    return (_take_mine(view, _psum(ty, view.axis), b) - 1).reshape(shape_in)
+    return (_owner_to_mine(view, ty, b) - 1).reshape(shape_in)
 
 
 def sample_node_sharded(view: ShardView, key, count, node_type=-1):
@@ -616,12 +771,11 @@ def get_full_neighbor_sharded(view: ShardView, nodes, ets, cap,
     w = jnp.where(ok, view.adj_w[s], 0.0)
     ty = jnp.where(ok, view.adj_type[s], -1)
     eid = jnp.where(ok, view.adj_eid[s], -1)
-    ax = view.axis
-    nbr = _take_mine(view, _combine_ids(ok, nbr, ax, default_id), b)
-    w = _take_mine(view, _combine(ok, w, ax), b)
-    ty = _take_mine(view, _combine_ids(ok, ty, ax, -1), b)
-    eid = _take_mine(view, _combine_ids(ok, eid, ax, -1), b)
-    okg = _take_mine(view, _psum(ok.astype(jnp.int32), ax), b) > 0
+    nbr = _route_ids(view, ok, nbr, b, default_id)
+    w = _route_vals(view, ok, w, b)
+    ty = _route_ids(view, ok, ty, b, -1)
+    eid = _route_ids(view, ok, eid, b, -1)
+    okg = _owner_to_mine(view, ok.astype(jnp.int32), b) > 0
     if sorted_by_id:
         sort_key = jnp.where(okg, nbr, jnp.iinfo(jnp.int32).max)
         order = jnp.argsort(sort_key, axis=1)
@@ -661,8 +815,7 @@ def sample_node_with_src_sharded(view: ShardView, key, src, count):
     local = jnp.where(pos >= 0, na.ids[jnp.maximum(pos, 0)], -1)
     gid = jnp.where(local >= 0, local * S + view.my_shard, -1)
     mine = (shard_choice == view.my_shard) & (t >= 0)[:, None]
-    out = _combine_ids(mine, gid, ax, -1)
-    return _take_mine(view, out, b)
+    return _route_ids(view, mine, gid, b, -1)
 
 
 def sparse_get_adj_sharded(view: ShardView, nodes, nb_nodes, ets):
@@ -701,9 +854,8 @@ def sparse_get_adj_sharded(view: ShardView, nodes, nb_nodes, ets):
             (alln >= 0)[:, None] & (tgt >= 0) & owned[:, None]
         conn = conn | hit
         w = jnp.where(hit, view.adj_w[slot], w)
-    ax = view.axis
-    conn_g = _take_mine(view, _psum(conn.astype(jnp.int32), ax), b) > 0
-    w_g = _take_mine(view, _psum(w, ax), b)
+    conn_g = _owner_to_mine(view, conn.astype(jnp.int32), b) > 0
+    w_g = _owner_to_mine(view, w, b)
     return conn_g, jnp.where(conn_g, w_g, 0.0)
 
 
@@ -736,8 +888,7 @@ def is_neighbor_sharded(view: ShardView, src, ets, cand):
         hit = (l < hi) & (view.adj_dst[slot] == allc)
         found = found | hit
     found = found & owned & (alls >= 0) & (allc >= 0)
-    out = _take_mine(view, _psum(found.astype(jnp.int32), view.axis), b) > 0
-    return out
+    return _owner_to_mine(view, found.astype(jnp.int32), b) > 0
 
 
 def _eid_lookup_local(view: ShardView, eids):
@@ -758,18 +909,17 @@ def get_edge_feature_sharded(view: ShardView, eids, names, kind):
     b = flat_in.shape[0]
     flat_all = _spread(view, flat_in)
     found, slot = _eid_lookup_local(view, flat_all)
-    ax = view.axis
     out = []
     for n in names:
         if kind == "dense":
             tab = view.dense_ef[n]
             v = jnp.where(found[:, None], tab[slot], 0.0)
-            v = _take_mine(view, _psum(v, ax), b)
+            v = _owner_to_mine(view, v, b)
             out.append(v.reshape(shape_in + (tab.shape[-1],)))
         else:
             tab, _ = view.sparse_ef[n]
             ids = jnp.where(found[:, None], tab[slot] + 1, 0)
-            ids = _take_mine(view, _psum(ids, ax), b) - 1
+            ids = _owner_to_mine(view, ids, b) - 1
             ids = ids.reshape(shape_in + (tab.shape[-1],))
             out.append((ids, ids >= 0))
     return out
@@ -784,7 +934,7 @@ def get_edge_type_sharded(view: ShardView, eids):
     flat_all = _spread(view, flat_in)
     found, slot = _eid_lookup_local(view, flat_all)
     ty = jnp.where(found, view.adj_type[slot] + 1, 0)
-    out = _take_mine(view, _psum(ty, view.axis), b) - 1
+    out = _owner_to_mine(view, ty, b) - 1
     return out.reshape(shape_in)
 
 

@@ -130,6 +130,30 @@ def test_shared_src_block_paths_match_generic(toy_graph):
         atol=1e-6)
 
 
+def test_gnn_bf16_matches_f32(toy_graph):
+    """Mixed-precision forward (dtype=bfloat16) stays close to f32 —
+    params are f32, activations bf16 (the TPU training dtype)."""
+    from euler_tpu.models import encoders, gnn
+    g = toy_graph.tensors
+    feat = encoders.ShallowEncoder(dense_names=("dense2",))
+    roots = jnp.arange(8, dtype=jnp.int32)
+    outs = {}
+    for dt in (None, jnp.bfloat16):
+        net = gnn.GNNNet(conv="sage",
+                         flow=flows.SageDataFlow([4], [(0, 1)]),
+                         dims=(16, 8), feature=feat, dtype=dt)
+        rngs = {"params": jax.random.PRNGKey(0),
+                "sample": jax.random.PRNGKey(1)}
+        params = net.init(rngs, g, roots)
+        outs[dt] = np.asarray(
+            net.apply(params, g, roots,
+                      rngs={"sample": jax.random.PRNGKey(1)})
+            .astype(jnp.float32))
+    assert np.isfinite(outs[jnp.bfloat16]).all()
+    np.testing.assert_allclose(outs[jnp.bfloat16], outs[None],
+                               rtol=0.1, atol=0.05)
+
+
 @pytest.mark.parametrize("name", ["gcn", "sage", "gat", "gin", "tag",
                                   "sgcn", "agnn", "appnp", "graph", "arma",
                                   "dna", "gated"])

@@ -100,6 +100,42 @@ def test_sharded_sample_neighbor_distribution(toy_graph, sg4, mesh24):
     np.testing.assert_allclose((exts == 103).mean(), 0.75, atol=0.03)
 
 
+def test_sharded_fast_path_distribution(toy_graph, sg4, mesh24):
+    # the ids-only fan_pack fast path must reproduce the weighted
+    # distribution under the mesh (sharded mirror of sample_neighbor_fast)
+    assert sg4.fan_pack is not None
+    et = toy_graph.meta.edge_types.index("click")
+    nodes = jnp.full((512,), toy_graph.local_id(100), jnp.int32)
+
+    def fn(view, nodes, key):
+        ids, valid = sampling.sample_neighbor_fast(view, key, nodes,
+                                                   (et,), 8)
+        return ids, valid.astype(jnp.int32)
+
+    ids, valid = _run_sharded(mesh24, sg4, fn, nodes, jax.random.PRNGKey(2))
+    ids, valid = np.asarray(ids).reshape(-1), np.asarray(valid).reshape(-1)
+    assert (valid > 0).all()            # node 100 has click neighbors
+    exts = toy_graph.ext_ids[ids]
+    assert set(exts.tolist()) <= {101, 103}
+    np.testing.assert_allclose((exts == 103).mean(), 0.75, atol=0.03)
+
+
+def test_sharded_fast_path_multi_type(toy_graph, sg4, mesh24):
+    # both edge types: 100 -> click {101 w1, 103 w3} + buy {105 w2}
+    ets = (0, 1)
+    nodes = jnp.full((512,), toy_graph.local_id(100), jnp.int32)
+
+    def fn(view, nodes, key):
+        return sampling.sample_neighbor_fast(view, key, nodes, ets, 8)[0]
+
+    got = np.asarray(_run_sharded(mesh24, sg4, fn, nodes,
+                                  jax.random.PRNGKey(7))).reshape(-1)
+    exts = toy_graph.ext_ids[got[got >= 0]]
+    freq = {e: (exts == e).mean() for e in (101, 103, 105)}
+    np.testing.assert_allclose([freq[101], freq[103], freq[105]],
+                               np.array([1, 3, 2]) / 6, atol=0.03)
+
+
 def test_sharded_sample_node_distribution(toy_graph, sg4, mesh24):
     def fn(view, key):
         return sampling.sample_node(view, key, 4096, -1)
