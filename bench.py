@@ -30,7 +30,11 @@ import sys
 import time
 
 _result = {}
-_DEADLINE_S = 270  # emit whatever we have before any external ~5min cap
+_DEADLINE_S = 540  # emit whatever we have before a ~10min external cap.
+# The axon remote-compile service has multi-minute variance (observed
+# 50s..420s for the SAME program); measured execution after compile is
+# ~15s, so the deadline mainly guards the compile phase. SIGTERM from a
+# shorter external timeout still salvages whatever was recorded.
 
 
 def _emit_and_exit(*_):

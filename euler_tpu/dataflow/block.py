@@ -211,7 +211,13 @@ def fanout_block(targets: Array, sampled: Array, weights: Array,
     n_id = jnp.concatenate([targets, flat])
     dst = jnp.repeat(jnp.arange(T, dtype=jnp.int32), count)
     src = T + jnp.arange(T * count, dtype=jnp.int32)
-    mask = ((flat >= 0) & (targets >= 0)[dst]).astype(jnp.float32)
+    # NB: (targets >= 0)[dst] would lower to a per-edge random gather
+    # (~8ns/edge — measured 45% of a whole GraphSAGE train step); dst is
+    # repeat(arange(T), C), so broadcast+reshape expresses the same mask
+    # as a free layout change
+    tgt_ok = jnp.broadcast_to((targets >= 0)[:, None],
+                              (T, count)).reshape(-1)
+    mask = ((flat >= 0) & tgt_ok).astype(jnp.float32)
     w = weights.reshape(-1)
     e_id = eids.reshape(-1)
     e_type = None if etypes is None else etypes.reshape(-1)

@@ -61,13 +61,23 @@ def _is_neighbor(g: GraphTensors, src: Array, etypes, cand: Array) -> Array:
 
 def random_walk(g: GraphTensors, key, nodes: Array, edge_types,
                 walk_len: int, p: float = 1.0, q: float = 1.0,
-                default_id: int = -1) -> Array:
+                default_id: int = -1, exact: bool = True,
+                bias_cap: int = 64) -> Array:
     """Walk ``walk_len`` steps from each node; returns [B, walk_len+1].
 
     ``edge_types`` is a tuple of edge-type ids/names used for every step, or
     a per-step list of such tuples (matching the reference API,
     tf_euler/python/euler_ops/walk_ops.py:30-43). Dead ends emit
     ``default_id`` from that step on (random_walk_op.cc default_node).
+
+    Biased (node2vec) steps: with ``exact=True`` (default) each step
+    reweights the FULL neighborhood (capped at ``bias_cap``) by the p/q
+    factor and draws via Gumbel-max — the reference's exact per-step
+    BuildWeights semantics (random_walk_op.cc:113-140); nodes with degree
+    beyond ``bias_cap`` truncate. ``exact=False`` uses O(1) rejection
+    sampling with forced acceptance after 8 tries, which skews toward the
+    unbiased proposal for walkers with low acceptance probability
+    (quantified in tests/test_walk.py).
     """
     nodes = jnp.asarray(nodes, jnp.int32).reshape(-1)
     if edge_types and isinstance(edge_types, (list,)) and \
@@ -91,6 +101,32 @@ def random_walk(g: GraphTensors, key, nodes: Array, edge_types,
         if not biased:
             nbr, _, _, _ = sample_neighbor(g, sub, cur, ets, 1, default_id)
             nxt = nbr[:, 0]
+        elif exact:
+            # exact per-step reweighting over the (capped) neighborhood:
+            # m(c) = 1/p if c==prev, 1 if c in N(prev), 1/q otherwise;
+            # draw ~ w*m via Gumbel-max (BuildWeights semantics)
+            from euler_tpu.ops.sampling import get_full_neighbor
+            nbr, w, _, _, ok = get_full_neighbor(g, cur, ets, bias_cap,
+                                                 default_id)
+            prev_b = jnp.broadcast_to(prev[:, None], nbr.shape)
+            is_prev = (nbr == prev_b) & (prev >= 0)[:, None]
+            in_pn = _is_neighbor(g, jnp.maximum(prev_b, 0), ets,
+                                 nbr).reshape(nbr.shape) & \
+                (prev >= 0)[:, None]
+            m = jnp.where(is_prev, 1.0 / p,
+                          jnp.where(in_pn, 1.0, 1.0 / q))
+            m = jnp.where(prev[:, None] >= 0, m, 1.0)
+            score = jnp.where(ok & (w > 0), jnp.log(jnp.maximum(w, 1e-30))
+                              + jnp.log(m), -jnp.inf)
+            gmb = -jnp.log(-jnp.log(jax.random.uniform(
+                sub, nbr.shape, minval=1e-20, maxval=1.0)))
+            pick = jnp.argmax(score + gmb, axis=1)
+            any_ok = jnp.isfinite(
+                jnp.max(score, axis=1, initial=-jnp.inf))
+            nxt = jnp.where(any_ok,
+                            jnp.take_along_axis(nbr, pick[:, None],
+                                                axis=1)[:, 0],
+                            default_id)
         else:
             # rejection sampling: candidate ~ w; accept w.p. m(c)/max_m,
             # m(c) = 1/p if c==prev, 1 if c in N(prev), 1/q otherwise.

@@ -78,6 +78,27 @@ def test_reservoir_refresh_during_train(tmp_path):
     assert not np.array_equal(before, after)
 
 
+def test_spmd_estimator_learns_sbm(sbm, tmp_path):
+    """The mesh-parallel estimator (2 data x 4 graph shards on the
+    virtual 8-device mesh) trains the same model the single-chip
+    NodeEstimator does and reaches the same quality."""
+    from euler_tpu.estimator.spmd import SpmdNodeEstimator
+    ds, graph = sbm
+    et = graph.meta.edge_types.index("link")
+    model = _node_model(ds, "sage", flows.SageDataFlow([5, 5],
+                                                       [(et,), (et,)]))
+    cfg = RunConfig(model_dir=str(tmp_path / "spmd"), batch_size=64,
+                    total_steps=120, learning_rate=0.02, log_steps=0)
+    est = SpmdNodeEstimator(model, graph, cfg, graph_shards=4,
+                            train_node_type=graph.meta.node_type_id(
+                                ds.train_node_type))
+    est.train()
+    res = est.evaluate(ds.test_ids)
+    assert res["f1"] > 0.85, res
+    emb = est.infer(ds.test_ids[:40], out_dir=str(tmp_path / "spmd_emb"))
+    assert emb.shape[0] == 40 and np.isfinite(emb).all()
+
+
 def test_infer_writes_embeddings(sbm, tmp_path):
     ds, graph = sbm
     et = graph.meta.edge_types.index("link")

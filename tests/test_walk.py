@@ -58,6 +58,42 @@ def test_random_walk_node2vec_bias(toy_graph):
     assert away < base - 0.02
 
 
+def _step2_dist(toy_graph, p, q, seed, n=20000, **kw):
+    """Empirical P(step2 | start=101) — step1 is always 100, so step2 is
+    a pure node2vec transition with prev=101, cur=100."""
+    g = toy_graph.tensors
+    starts = jnp.full((n,), toy_graph.local_id(101), jnp.int32)
+    paths = np.asarray(walk.random_walk(
+        g, jax.random.PRNGKey(seed), starts, (0, 1), walk_len=2,
+        p=p, q=q, **kw))
+    ext = toy_graph.ext_ids[np.maximum(paths[:, 2], 0)]
+    return {e: (ext == e).mean() for e in (101, 103, 105)}
+
+
+def test_random_walk_node2vec_exact_distribution(toy_graph):
+    """exact=True matches the reference's per-step reweighting EXACTLY
+    (random_walk_op.cc:113-140 BuildWeights): from 100 with prev=101,
+    m(101)=1/p (return), m(103)=m(105)=1/q (101 has no edge to them)."""
+    p, q = 0.5, 2.0
+    w = {101: 1.0 / p, 103: 3.0 / q, 105: 2.0 / q}
+    tot = sum(w.values())
+    got = _step2_dist(toy_graph, p, q, seed=11)
+    for e in (101, 103, 105):
+        np.testing.assert_allclose(got[e], w[e] / tot, atol=0.015), e
+
+
+def test_random_walk_rejection_bias_quantified(toy_graph):
+    """exact=False (O(1) rejection, forced acceptance after 8 tries) must
+    stay within a few percent of the exact distribution on the fixture —
+    this quantifies the approximation the fast path trades for."""
+    p, q = 0.5, 2.0
+    w = {101: 1.0 / p, 103: 3.0 / q, 105: 2.0 / q}
+    tot = sum(w.values())
+    got = _step2_dist(toy_graph, p, q, seed=12, exact=False)
+    for e in (101, 103, 105):
+        assert abs(got[e] - w[e] / tot) < 0.05, (e, got)
+
+
 def test_gen_pair_matches_reference_layout():
     paths = jnp.asarray([[10, 11, 12, 13]], jnp.int32)
     pairs = np.asarray(walk.gen_pair(paths, 1, 1))
