@@ -95,21 +95,10 @@ class Block:
         loop = edge_vals[T * C:] if self.self_loops else None
         return sampled, loop
 
-    def scatter(self, op: str, updates: Array, mask: Optional[Array] = None
-                ) -> Array:
-        """Aggregate per-edge updates into targets (segment_{op} over
-        edge_index[0], num_segments=size[0]); mask drops padded edges."""
-        from euler_tpu.ops import mp_ops
-        if self.fanout is None:
-            return mp_ops.masked_scatter_(op, updates, self.edge_index[0],
-                                          self.size[0], mask)
-        tail_nd = updates.ndim - 1
-        up_s, up_l = self._split(updates)
-        if mask is not None:
-            m = mask.astype(updates.dtype)
-            m_s, m_l = self._split(m.reshape((-1,) + (1,) * tail_nd))
-        else:
-            m_s = m_l = None
+    def _reduce(self, op: str, up_s, up_l, m_s, m_l):
+        """Aggregate (sampled [T,C,...], loop [T,...]) with masks of the
+        same leading shapes; the shared arithmetic of scatter and
+        aggregate_neighbors."""
         if op == "add":
             out = (up_s * m_s if m_s is not None else up_s).sum(axis=1)
             if up_l is not None:
@@ -129,7 +118,7 @@ class Block:
                 cnt = cnt + m_l
             return tot / jnp.maximum(cnt, 1e-7)       # masked_scatter_ parity
         if op == "max":
-            neg = jnp.finfo(updates.dtype).min
+            neg = jnp.finfo(up_s.dtype).min
             vals = jnp.where(m_s > 0, up_s, neg) if m_s is not None else up_s
             out = vals.max(axis=1)
             if up_l is not None:
@@ -137,6 +126,60 @@ class Block:
                 out = jnp.maximum(out, lv)
             return jnp.where(out <= neg * 0.5, 0.0, out)
         raise ValueError(op)
+
+    def _split_mask(self, mask, dtype, tail_nd):
+        if mask is None:
+            return None, None
+        return self._split(mask.astype(dtype).reshape(
+            (-1,) + (1,) * tail_nd))
+
+    def scatter(self, op: str, updates: Array, mask: Optional[Array] = None
+                ) -> Array:
+        """Aggregate per-edge updates into targets (segment_{op} over
+        edge_index[0], num_segments=size[0]); mask drops padded edges."""
+        from euler_tpu.ops import mp_ops
+        if self.fanout is None:
+            return mp_ops.masked_scatter_(op, updates, self.edge_index[0],
+                                          self.size[0], mask)
+        up_s, up_l = self._split(updates)
+        m_s, m_l = self._split_mask(mask, updates.dtype, updates.ndim - 1)
+        return self._reduce(op, up_s, up_l, m_s, m_l)
+
+    def aggregate_neighbors(self, op: str, x_src: Array,
+                            mask: Optional[Array] = None,
+                            scale: Optional[Array] = None) -> Array:
+        """Fused ``scatter(op, gather_src(x_src) * scale, mask)``.
+
+        For regular layouts this reads ``x_src`` through strided views
+        instead of materializing the concatenated per-edge tensor —
+        measured on-chip, the gather_src concat blocked XLA fusion and
+        cost three full [E, D] copies per conv layer (select + slice +
+        relayout-reshape). ``scale`` is an optional per-edge multiplier
+        ([E] or [E, 1]; e.g. GCN's sym-norm, GAT's attention).
+        """
+        from euler_tpu.ops import mp_ops
+        if scale is not None and scale.ndim == 1:
+            scale = scale[:, None]
+        if self.fanout is None:
+            xj = mp_ops.gather(x_src, self.edge_index[1])
+            if scale is not None:
+                xj = xj * scale.astype(xj.dtype)
+            return mp_ops.masked_scatter_(op, xj, self.edge_index[0],
+                                          self.size[0], mask)
+        T, C = self.size[0], self.fanout
+        tail = x_src.shape[1:]
+        if self.shared_src:
+            up_s = jnp.broadcast_to(x_src[T:][None], (T, C) + tail)
+        else:
+            up_s = x_src[T:].reshape((T, C) + tail)
+        up_l = x_src[:T] if self.self_loops else None
+        if scale is not None:
+            s_s, s_l = self._split(scale.astype(x_src.dtype))
+            up_s = up_s * s_s
+            if up_l is not None:
+                up_l = up_l * s_l
+        m_s, m_l = self._split_mask(mask, x_src.dtype, x_src.ndim - 1)
+        return self._reduce(op, up_s, up_l, m_s, m_l)
 
     def softmax(self, scores: Array, mask: Optional[Array] = None) -> Array:
         """Per-target segment softmax of per-edge scores (masked edges get

@@ -41,6 +41,12 @@ def _masked(messages, mask):
     return messages if mask is None else messages * mask[:, None]
 
 
+def _edge_scale(ni, nj, mask):
+    "[E, 1] multiplier combining sym-norm factors and the edge mask."
+    sc = ni * nj
+    return sc if mask is None else sc * mask[:, None]
+
+
 class GCNConv(nn.Module):
     """reference: gcn_conv.py:26-54 (sym-norm via two scatter_adds)."""
     dim: int
@@ -50,10 +56,10 @@ class GCNConv(nn.Module):
         x_tgt, x_src = x
         mask = block.mask
         norm_i, norm_j = _deg_inv_sqrt(block)
-        xj = block.gather_src(x_src)
         ni = block.gather_tgt(norm_i)
         nj = block.gather_src(norm_j)
-        out = block.scatter("add", _masked(ni * nj * xj, mask), None)
+        out = block.aggregate_neighbors("add", x_src,
+                                        scale=_edge_scale(ni, nj, mask))
         return nn.Dense(self.dim, use_bias=False)(out)
 
 
@@ -64,8 +70,7 @@ class SAGEConv(nn.Module):
     @nn.compact
     def __call__(self, x, block: Block):
         x_tgt, x_src = x
-        xj = block.gather_src(x_src)
-        aggr = block.scatter("mean", xj, block.mask)
+        aggr = block.aggregate_neighbors("mean", x_src, block.mask)
         return (nn.Dense(self.dim, use_bias=False)(x_tgt) +
                 nn.Dense(self.dim, use_bias=False)(aggr))
 
@@ -90,8 +95,7 @@ class GATConv(nn.Module):
         # flax's 0.01 — this changed attention values measurably
         alpha = nn.leaky_relu(alpha, negative_slope=0.2)
         alpha = block.softmax(alpha, mask)
-        xj = block.gather_src(h_src)
-        out = block.scatter("add", xj * alpha, None)
+        out = block.aggregate_neighbors("add", h_src, scale=alpha)
         if self.improved:
             out = h_tgt + out
         return out
@@ -106,8 +110,7 @@ class GINConv(nn.Module):
     @nn.compact
     def __call__(self, x, block: Block):
         x_tgt, x_src = x
-        xj = block.gather_src(x_src)
-        aggr = block.scatter("add", xj, block.mask)
+        aggr = block.aggregate_neighbors("add", x_src, block.mask)
         if self.train_eps:
             eps = self.param("eps", lambda k: jnp.asarray([self.eps]))
         else:
@@ -130,9 +133,8 @@ class TAGConv(nn.Module):
         xs = [x_tgt]
         cur_tgt, cur_src = x_tgt, x_src
         for _ in range(self.K):
-            xj = block.gather_src(cur_src)
-            cur = block.scatter("add", _masked(ni * nj * xj, block.mask),
-                                None)
+            cur = block.aggregate_neighbors(
+                "add", cur_src, scale=_edge_scale(ni, nj, block.mask))
             xs.append(cur)
             # next hop propagates the filtered signal (targets prefix the
             # source set, so pad the remainder with the original sources)
@@ -156,9 +158,8 @@ class SGCNConv(nn.Module):
         nj = block.gather_src(norm_j)
         cur_tgt, cur_src = x_tgt, x_src
         for _ in range(self.K):
-            xj = block.gather_src(cur_src)
-            cur_tgt = block.scatter("add", _masked(ni * nj * xj, block.mask),
-                                    None)
+            cur_tgt = block.aggregate_neighbors(
+                "add", cur_src, scale=_edge_scale(ni, nj, block.mask))
             cur_src = jnp.concatenate(
                 [cur_tgt, cur_src[size[0]:]], axis=0) \
                 if size[1] > size[0] else cur_tgt
@@ -175,10 +176,9 @@ class AGNNConv(nn.Module):
         beta = self.param("beta", lambda k: jnp.asarray([1.0]))
         ni = block.gather_tgt(_l2norm(x_tgt))
         nj = block.gather_src(_l2norm(x_src))
-        xj = block.gather_src(x_src)
         alpha = jnp.sum(beta * (ni * nj), axis=-1, keepdims=True)
         alpha = block.softmax(alpha, block.mask)
-        return block.scatter("add", xj * alpha, None)
+        return block.aggregate_neighbors("add", x_src, scale=alpha)
 
 
 def _l2norm(v):
@@ -200,9 +200,8 @@ class APPNPConv(nn.Module):
         nj = block.gather_src(norm_j)
         out_tgt, out_src = x_tgt, x_src
         for _ in range(self.K):
-            xj = block.gather_src(out_src)
-            aggr = block.scatter("add", _masked(ni * nj * xj, block.mask),
-                                 None)
+            aggr = block.aggregate_neighbors(
+                "add", out_src, scale=_edge_scale(ni, nj, block.mask))
             out_tgt = (1 - self.alpha) * aggr + self.alpha * x_tgt
             out_src = jnp.concatenate(
                 [out_tgt, out_src[size[0]:]], axis=0) \
@@ -218,8 +217,7 @@ class GraphConv(nn.Module):
     def __call__(self, x, block: Block):
         x_tgt, x_src = x
         h_src = nn.Dense(self.dim, use_bias=False)(x_src)
-        hj = block.gather_src(h_src)
-        aggr = block.scatter("mean", hj, block.mask)
+        aggr = block.aggregate_neighbors("mean", h_src, block.mask)
         return nn.Dense(self.dim, use_bias=True)(x_tgt) + aggr
 
 
@@ -245,9 +243,8 @@ class ARMAConv(nn.Module):
         for t in range(self.T):
             w = ws[0 if self.shared_weights else t]
             v = vs[0 if self.shared_weights else t]
-            xj = block.gather_src(w(cur_src))
-            aggr = block.scatter("add", _masked(ni * nj * xj, block.mask),
-                                 None)
+            aggr = block.aggregate_neighbors(
+                "add", w(cur_src), scale=_edge_scale(ni, nj, block.mask))
             out = nn.relu(aggr + v(x_tgt))
             cur_tgt = out
             cur_src = jnp.concatenate(
@@ -301,8 +298,8 @@ class GatedConv(nn.Module):
         gru = nn.GRUCell(features=self.dim)
         for i in range(self.processing_steps):
             fc = nn.Dense(self.dim, use_bias=False)
-            mj = block.gather_src(fc(h_src))
-            aggr = block.scatter("add", mj, block.mask)
+            aggr = block.aggregate_neighbors("add", fc(h_src),
+                                             block.mask)
             h_tgt, _ = gru(h_tgt, aggr)
             h_src = jnp.concatenate([h_tgt, h_src[size[0]:]], axis=0) \
                 if size[1] > size[0] else h_tgt

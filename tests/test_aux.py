@@ -45,6 +45,54 @@ def test_knn_cli(tmp_path):
     assert res["idx"].shape == (25, 5)
 
 
+def test_embedding_serving_roundtrip(tmp_path):
+    """HTTP embedding service over the estimator's infer output
+    (the reference's serving tier analog, euler/service + knn/knn.py)."""
+    import http.client
+    import json as _json
+
+    from euler_tpu import serving
+
+    rng = np.random.default_rng(4)
+    emb = rng.normal(size=(50, 8)).astype(np.float32)
+    ids = np.arange(100, 150, dtype=np.int32)
+    np.save(tmp_path / "embedding_0.npy", emb[:30])
+    np.save(tmp_path / "ids_0.npy", ids[:30])
+    np.save(tmp_path / "embedding_1.npy", emb[30:])
+    np.save(tmp_path / "ids_1.npy", ids[30:])
+
+    srv = serving.serve_embeddings(str(tmp_path), background=True)
+    try:
+        port = srv.server_port
+
+        def rpc(method, path, body=None):
+            c = http.client.HTTPConnection("127.0.0.1", port, timeout=10)
+            c.request(method, path,
+                      _json.dumps(body) if body is not None else None)
+            r = c.getresponse()
+            out = _json.loads(r.read())
+            c.close()
+            return r.status, out
+
+        st, h = rpc("GET", "/healthz")
+        assert st == 200 and h["n"] == 50 and h["d"] == 8
+        st, e = rpc("POST", "/embedding", {"ids": [100, 149, 999]})
+        assert st == 200
+        np.testing.assert_allclose(e["embeddings"][0], emb[0], rtol=1e-6)
+        np.testing.assert_allclose(e["embeddings"][1], emb[49], rtol=1e-6)
+        assert e["embeddings"][2] is None
+        # knn by stored id: nearest neighbor of a point is itself
+        st, k = rpc("POST", "/knn", {"id": 110, "k": 3})
+        assert st == 200 and k["ids"][0] == 110
+        # knn by raw vector
+        st, k2 = rpc("POST", "/knn", {"vector": emb[7].tolist(), "k": 1})
+        assert st == 200 and k2["ids"] == [107]
+        st, err = rpc("POST", "/knn", {"k": 1})
+        assert st == 400 and "error" in err
+    finally:
+        srv.shutdown()
+
+
 def test_graph_config_parse():
     c = GraphConfig("mode=local;num_retries=3;ratio=0.5;flag=true")
     assert c.get_string("mode") == "local"
