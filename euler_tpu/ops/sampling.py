@@ -269,6 +269,17 @@ def sample_neighbor_fast(g: GraphTensors, key, nodes: Array, edge_types,
         k1, k2 = jax.random.split(key)
         u1 = jax.random.uniform(k1, (B, count))
         u2 = jax.random.uniform(k2, (B, count))
+        from euler_tpu.ops import pallas_fan
+        if pallas_fan.enabled():
+            # Pallas VMEM selection kernel — bit-exact vs the jnp path
+            # below for the same key (shared u1/u2); interpret mode on
+            # non-TPU backends
+            ids = pallas_fan.fan_draw(
+                packs[:, 0, :], u1, u2,
+                interpret=jax.default_backend() != "tpu")
+            valid = (nodes >= 0)[:, None] & (deg_c > 0) \
+                & (total > 0)[:, None]
+            return jnp.where(valid, ids, default_id), valid
         slot = jnp.minimum((u1 * deg_c).astype(jnp.int32),
                            jnp.maximum(deg_c - 1, 0))
         oh = (slot[..., None] ==
