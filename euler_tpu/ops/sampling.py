@@ -474,9 +474,6 @@ def get_top_k_neighbor(g: GraphTensors, nodes: Array, edge_types, k: int,
 # ---------------------------------------------------------------------------
 
 def _require_in_csr(g, name):
-    if _is_shard_view(g):
-        raise NotImplementedError(
-            f"{name} is not yet implemented under a graph-sharded mesh")
     if getattr(g, "in_group_ptr", None) is None:
         raise ValueError(
             f"{name} needs the in-adjacency: build the graph with "
@@ -507,6 +504,10 @@ def sample_in_neighbor(g: GraphTensors, key, nodes: Array, edge_types,
     """
     _require_in_csr(g, "sample_in_neighbor")
     ets = _as_etypes(g, edge_types)
+    if _is_shard_view(g):
+        from euler_tpu.parallel import sharded
+        return sharded.sample_in_neighbor_sharded(g, key, nodes, ets,
+                                                  count, default_id)
     nodes = jnp.asarray(nodes, jnp.int32)
     B = nodes.shape[0]
     rows = jnp.maximum(nodes, 0)
@@ -534,6 +535,10 @@ def get_full_in_neighbor(g: GraphTensors, nodes: Array, edge_types,
     (euler/core/graph/node.h:87-112)."""
     _require_in_csr(g, "get_full_in_neighbor")
     ets = _as_etypes(g, edge_types)
+    if _is_shard_view(g):
+        from euler_tpu.parallel import sharded
+        return sharded.get_full_in_neighbor_sharded(
+            g, nodes, ets, cap, default_id, sorted_by_id)
     nodes = jnp.asarray(nodes, jnp.int32)
     B = nodes.shape[0]
     rows = jnp.maximum(nodes, 0)
@@ -692,15 +697,22 @@ def sparse_get_adj(g: GraphTensors, nodes: Array, nb_nodes: Array,
     return conn, w
 
 
+def _require_graph_members(g, name):
+    if getattr(g, "graph_members", None) is None:
+        raise ValueError(
+            f"{name} needs graph-label membership: the graph must carry a "
+            "'graph_label' binary node feature (store.Graph builds the "
+            "table; build_sharded replicates it onto the mesh)")
+
+
 def sample_graph_label(g: GraphTensors, key, count: int) -> Array:
     """Uniformly sample graph indices (graph-classification batches).
 
     reference: API_SAMPLE_GRAPH_LABEL
-    (euler/core/kernels/sample_graph_label_op.cc)."""
-    if _is_shard_view(g):
-        raise NotImplementedError(
-            "graph-label ops are not sharded: graph-classification sets "
-            "(mutag-scale) fit one chip; load the graph unsharded")
+    (euler/core/kernels/sample_graph_label_op.cc). Under a mesh the
+    graph-membership table is replicated (mutag-scale), so the verb is
+    local on every device."""
+    _require_graph_members(g, "sample_graph_label")
     G = g.graph_members.shape[0]
     return jax.random.randint(key, (count,), 0, G, dtype=jnp.int32)
 
@@ -710,12 +722,11 @@ def get_graph_by_label(g: GraphTensors, graph_idx: Array):
 
     reference: API_GET_GRAPH_BY_LABEL (get_graph_by_label_op.cc) returning
     SparseTensor graph->nodes; here (node_ids [B,maxN], mask [B,maxN],
-    node_graph_idx [B*maxN]).
+    node_graph_idx [B*maxN]). Works identically under a mesh: the
+    membership table is replicated, and the returned (global) node ids
+    feed the sharded feature/neighbor verbs.
     """
-    if _is_shard_view(g):
-        raise NotImplementedError(
-            "graph-label ops are not sharded: graph-classification sets "
-            "(mutag-scale) fit one chip; load the graph unsharded")
+    _require_graph_members(g, "get_graph_by_label")
     members = g.graph_members[graph_idx]          # [B, maxN]
     mask = members >= 0
     B, maxN = members.shape

@@ -93,6 +93,23 @@ class ShardedGraphTensors:
     sample_pack: Optional[Array] = None   # [S, e_max, 9]
     fan_pack: Optional[Array] = None      # [S, n_max*ET, 128]
 
+    # in-CSR, dst-partitioned: shard s owns the in-groups of nodes with
+    # id % S == s (built by build_sharded when the source graph was
+    # loaded with has_in_edges; reference: node.h:87-112 in-neighbor API
+    # served by the dst shard)
+    in_group_ptr: Optional[Array] = None    # [S, n_max*ET+1]
+    in_adj_src: Optional[Array] = None      # [S, ie_max] GLOBAL src ids
+    in_adj_w: Optional[Array] = None        # [S, ie_max]
+    in_adj_eid: Optional[Array] = None      # [S, ie_max] GLOBAL edge rows
+    in_group_w_sum: Optional[Array] = None  # [S, n_max, ET]
+    in_adj_prob: Optional[Array] = None     # [S, ie_max]
+    in_adj_alias: Optional[Array] = None    # [S, ie_max]
+
+    # graph-classification membership, REPLICATED: graph-label sets are
+    # mutag-scale ([G, maxN] int32), so every shard holds the whole table
+    # and the graph-label verbs stay local (get_graph_by_label_op.cc)
+    graph_members: Optional[Array] = None   # [G, maxN] (-1 pad)
+
 
 @struct.dataclass
 class ShardView:
@@ -128,6 +145,14 @@ class ShardView:
     adj_pack: Optional[Array] = None
     sample_pack: Optional[Array] = None
     fan_pack: Optional[Array] = None
+    in_group_ptr: Optional[Array] = None
+    in_adj_src: Optional[Array] = None
+    in_adj_w: Optional[Array] = None
+    in_adj_eid: Optional[Array] = None
+    in_group_w_sum: Optional[Array] = None
+    in_adj_prob: Optional[Array] = None
+    in_adj_alias: Optional[Array] = None
+    graph_members: Optional[Array] = None   # replicated [G, maxN]
 
     @property
     def my_shard(self):
@@ -260,9 +285,36 @@ def _pad_shard_fields(meta: GraphMeta, core, n_max, e_max,
     )
 
 
+def _pad_in_fields(meta: GraphMeta, core, n_max, ie_max):
+    """One shard's padded in-CSR fields (dst-partitioned). ``core['gp']``
+    already spans the padded n_max*ET groups (built with n_max rows)."""
+    ET = meta.num_edge_types
+    m = len(core["col"])
+
+    def pade(a, fill=0):
+        out = np.full((ie_max,) + a.shape[1:], fill, a.dtype)
+        out[:m] = a
+        return out
+
+    gp = core["gp"].astype(np.int32)
+    seg = np.repeat(np.arange(len(gp) - 1), np.diff(gp))
+    gws = np.zeros(n_max * ET, np.float64)
+    np.add.at(gws, seg, core["w"].astype(np.float64))
+    iprob, ialias = build_group_alias(gp.astype(np.int64), core["w"])
+    return dict(
+        in_group_ptr=gp,
+        in_adj_src=pade(core["col"].astype(np.int32), -1),
+        in_adj_w=pade(core["w"].astype(np.float32)),
+        in_adj_eid=pade(core["eid"].astype(np.int32), -1),
+        in_group_w_sum=gws.astype(np.float32).reshape(n_max, ET),
+        in_adj_prob=pade(iprob.astype(np.float32), 1.0),
+        in_adj_alias=pade(ialias.astype(np.int32)),
+    )
+
+
 def assemble_sharded(meta: GraphMeta, S: int, fields_by_shard,
                      shard_node_w, shard_edge_w,
-                     mesh=None) -> ShardedGraphTensors:
+                     mesh=None, graph_members=None) -> ShardedGraphTensors:
     """Stack per-shard field pytrees into a ShardedGraphTensors.
 
     ``mesh=None``: host numpy stack (single process holds every shard).
@@ -310,6 +362,13 @@ def assemble_sharded(meta: GraphMeta, S: int, fields_by_shard,
     fields = jax.tree_util.tree_unflatten(treedef, glob)
     fields["node_alias"] = AliasTables(**fields["node_alias"])
     fields["edge_alias"] = AliasTables(**fields["edge_alias"])
+    if graph_members is not None:
+        if mesh is None:
+            fields["graph_members"] = jnp.asarray(graph_members)
+        else:
+            rep = NamedSharding(mesh, P())
+            fields["graph_members"] = jax.make_array_from_callback(
+                graph_members.shape, rep, lambda idx: graph_members[idx])
     return ShardedGraphTensors(
         meta=meta, num_shards=S, shard_node_w=node_w_tab,
         shard_edge_w=edge_w_tab, **fields)
@@ -358,6 +417,23 @@ def build_sharded(graph: Graph, num_shards: int) -> ShardedGraphTensors:
         shard_node_w[s] = core["node_w_row"]
         shard_edge_w[s] = core["edge_w_row"]
 
+    # in-CSR shards (dst-partitioned): built when the source graph carries
+    # the in-adjacency, so the in-neighbor verbs work under the mesh
+    in_cores = None
+    ie_max = 1
+    if getattr(g, "in_group_ptr", None) is not None:
+        in_cores = []
+        in_shard = adj_dst % S
+        for s in range(S):
+            isel = in_shard == s
+            (igp, icol, iw, _icum, ieid, _perm) = _convert.build_csr(
+                n_max, ET, np.ascontiguousarray(adj_dst[isel] // S,
+                                                np.int32),
+                adj_src[isel].astype(np.int32), adj_type[isel],
+                adj_w[isel], adj_eid[isel])
+            in_cores.append(dict(gp=igp, col=icol, w=iw, eid=ieid))
+            ie_max = max(ie_max, len(icol))
+
     fields_by_shard = {}
     for s in range(S):
         own, core = owns[s], cores[s]
@@ -371,17 +447,27 @@ def build_sharded(graph: Graph, num_shards: int) -> ShardedGraphTensors:
             {k: np.asarray(v)[orig_rows] for k, v in g.dense_ef.items()},
             {k: (np.asarray(ids)[orig_rows], np.asarray(ln)[orig_rows])
              for k, (ids, ln) in g.sparse_ef.items()})
+        if in_cores is not None:
+            fields_by_shard[s].update(_pad_in_fields(
+                meta, in_cores[s], n_max, ie_max))
 
+    gm = getattr(g, "graph_members", None)
     return assemble_sharded(meta, S, fields_by_shard, shard_node_w,
-                            shard_edge_w)
+                            shard_edge_w,
+                            graph_members=None if gm is None
+                            else np.asarray(gm))
 
 
 def shard_specs(sg: ShardedGraphTensors):
     """PartitionSpecs: per-shard arrays split over 'graph'; the per-shard
-    weight-sum tables are replicated (they drive proportional root
-    sampling on every device, query_proxy.cc:93-145)."""
+    weight-sum tables (and the graph-label membership table) are
+    replicated (they drive proportional root sampling / graph-batch
+    assembly on every device, query_proxy.cc:93-145)."""
     specs = jax.tree_util.tree_map(lambda _: P("graph"), sg)
-    return specs.replace(shard_node_w=P(), shard_edge_w=P())
+    rep = dict(shard_node_w=P(), shard_edge_w=P())
+    if sg.graph_members is not None:
+        rep["graph_members"] = P()
+    return specs.replace(**rep)
 
 
 def to_view(sg_block: "ShardedGraphTensors", axis: str) -> ShardView:
@@ -424,6 +510,22 @@ def to_view(sg_block: "ShardedGraphTensors", axis: str) -> ShardView:
         else sq(sg_block.sample_pack),
         fan_pack=None if sg_block.fan_pack is None
         else sq(sg_block.fan_pack),
+        in_group_ptr=None if sg_block.in_group_ptr is None
+        else sq(sg_block.in_group_ptr),
+        in_adj_src=None if sg_block.in_adj_src is None
+        else sq(sg_block.in_adj_src),
+        in_adj_w=None if sg_block.in_adj_w is None
+        else sq(sg_block.in_adj_w),
+        in_adj_eid=None if sg_block.in_adj_eid is None
+        else sq(sg_block.in_adj_eid),
+        in_group_w_sum=None if sg_block.in_group_w_sum is None
+        else sq(sg_block.in_group_w_sum),
+        in_adj_prob=None if sg_block.in_adj_prob is None
+        else sq(sg_block.in_adj_prob),
+        in_adj_alias=None if sg_block.in_adj_alias is None
+        else sq(sg_block.in_adj_alias),
+        # replicated: keeps its full shape
+        graph_members=sg_block.graph_members,
     )
 
 
@@ -968,6 +1070,91 @@ def sample_node_with_condition_sharded(view: ShardView, key, count, dnf,
     return _combine_ids(mine, gid, view.axis, -1)
 
 
+def sample_in_neighbor_sharded(view: ShardView, key, nodes, ets, count,
+                               default_id=-1):
+    """Weighted in-neighbor sampling under the mesh: the DST shard owns
+    each node's in-groups (dst-partitioned in-CSR), answers its draws
+    from per-group alias tables, and routes results back
+    (reference: Node::SampleInNeighbor node.h:87-112 served remotely)."""
+    nodes = jnp.asarray(nodes, jnp.int32)
+    b = nodes.shape[0]
+    alln = _spread(view, nodes)
+    B = alln.shape[0]
+    owned, rows = _own_rows(view, alln)
+    kt, kd = jax.random.split(key)
+    ET = view.meta.num_edge_types
+    et_arr = jnp.asarray(ets, jnp.int32)
+    W = view.in_group_w_sum[rows][:, et_arr]
+    cdf = jnp.cumsum(W, axis=1)
+    total = cdf[:, -1]
+    r = jax.random.uniform(kt, (B, count)) * total[:, None]
+    t_idx = jnp.minimum(
+        jnp.sum(r[:, :, None] >= cdf[:, None, :], axis=-1), len(ets) - 1)
+    etype = et_arr[t_idx]
+    gidx = rows[:, None] * ET + etype
+    lo = view.in_group_ptr[gidx]
+    hi = view.in_group_ptr[gidx + 1]
+    pos = alias_draw(kd, view.in_adj_prob, view.in_adj_alias, lo, hi - lo,
+                     (B, count))
+    ok = (pos >= 0) & owned[:, None] & (total > 0)[:, None]
+    s = jnp.clip(jnp.maximum(pos, 0), 0, view.in_adj_src.shape[0] - 1)
+    nbr = jnp.where(ok, view.in_adj_src[s], default_id)
+    w = jnp.where(ok, view.in_adj_w[s], 0.0)
+    ty = jnp.where(ok, etype, -1)
+    eid = jnp.where(ok, view.in_adj_eid[s], -1)
+    own_any = owned[:, None]
+    return (_route_ids(view, own_any, nbr, b, default_id),
+            _route_vals(view, own_any, w, b),
+            _route_ids(view, own_any, ty, b, -1),
+            _route_ids(view, own_any, eid, b, -1))
+
+
+def get_full_in_neighbor_sharded(view: ShardView, nodes, ets, cap,
+                                 default_id=-1, sorted_by_id=False):
+    """Sharded padded full in-neighborhood (node.h:87-112 mirror of
+    get_full_neighbor_sharded over the dst-partitioned in-CSR)."""
+    nodes = jnp.asarray(nodes, jnp.int32)
+    b = nodes.shape[0]
+    alln = _spread(view, nodes)
+    owned, rows = _own_rows(view, alln)
+    B = alln.shape[0]
+    ET = view.meta.num_edge_types
+    et_arr = jnp.asarray(ets, jnp.int32)
+    gidx = rows[:, None] * ET + et_arr[None, :]
+    lo = view.in_group_ptr[gidx]
+    hi = view.in_group_ptr[gidx + 1]
+    deg = hi - lo
+    offs = jnp.concatenate(
+        [jnp.zeros((B, 1), deg.dtype), jnp.cumsum(deg, axis=1)], axis=1)
+    total = offs[:, -1]
+    j = jnp.arange(cap, dtype=jnp.int32)
+    k_idx = jnp.minimum(
+        jnp.sum(j[None, :, None] >= offs[:, None, 1:], axis=-1),
+        len(ets) - 1)
+    base = jnp.take_along_axis(lo, k_idx, axis=1)
+    off_k = jnp.take_along_axis(offs[:, :-1], k_idx, axis=1)
+    slot = base + (j[None, :] - off_k)
+    ok = (j[None, :] < total[:, None]) & (alln >= 0)[:, None] & \
+        owned[:, None]
+    s = jnp.clip(slot, 0, view.in_adj_src.shape[0] - 1)
+    nbr = jnp.where(ok, view.in_adj_src[s], default_id)
+    w = jnp.where(ok, view.in_adj_w[s], 0.0)
+    ty = jnp.where(ok, et_arr[k_idx], -1)
+    eid = jnp.where(ok, view.in_adj_eid[s], -1)
+    nbr = _route_ids(view, ok, nbr, b, default_id)
+    w = _route_vals(view, ok, w, b)
+    ty = _route_ids(view, ok, ty, b, -1)
+    eid = _route_ids(view, ok, eid, b, -1)
+    okg = _owner_to_mine(view, ok.astype(jnp.int32), b) > 0
+    if sorted_by_id:
+        sort_key = jnp.where(okg, nbr, jnp.iinfo(jnp.int32).max)
+        order = jnp.argsort(sort_key, axis=1)
+        take = lambda x: jnp.take_along_axis(x, order, axis=1)
+        nbr, w, ty, eid, okg = (take(nbr), take(w), take(ty), take(eid),
+                                take(okg))
+    return nbr, w, ty, eid, okg
+
+
 def query_index_ids_sharded(view: ShardView, dnf, cap):
     """Matching global ids across shards, padded to cap with -1."""
     from euler_tpu.ops import index as index_ops
@@ -981,3 +1168,34 @@ def query_index_ids_sharded(view: ShardView, dnf, cap):
     topv = jnp.sort(allv)[:cap]
     ids = jnp.where(topv < big, topv, -1)
     return ids, ids >= 0
+
+
+def refresh_fan_pack_sharded(sg: ShardedGraphTensors, mesh,
+                             key) -> ShardedGraphTensors:
+    """Redraw every shard's fan_pack reservoir rows on device.
+
+    The multi-chip mirror of ops.sampling.refresh_fan_pack (estimator
+    RunConfig.reservoir_refresh semantics): without it, groups with
+    degree > FAN_D would expose only their initial FAN_D pre-drawn
+    neighbors for the whole run. The key folds with the GRAPH axis index
+    only, so data-axis replicas compute identical rows (the array stays
+    consistently replicated over 'data')."""
+    if sg.fan_pack is None:
+        return sg
+    from euler_tpu.ops import sampling as _sampling
+
+    def body(gp, dst, prob, alias, fp, key):
+        k = jax.random.fold_in(key, jax.lax.axis_index("graph"))
+        out = _sampling.refresh_fan_rows(gp[0], dst[0], prob[0], alias[0],
+                                         fp[0], k)
+        return out[None]
+
+    gspec = P("graph")
+    fn = jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(gspec, gspec, gspec, gspec, gspec, P()),
+        out_specs=gspec, check_vma=False))
+    with mesh:
+        fp = fn(sg.group_ptr, sg.adj_dst, sg.adj_prob, sg.adj_alias,
+                sg.fan_pack, key)
+    return sg.replace(fan_pack=fp)

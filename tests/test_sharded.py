@@ -351,9 +351,77 @@ def test_sharded_biased_walk_and_layer(toy_graph, sg4, mesh24):
     assert set(valid.tolist()) <= all_dst
 
 
-def test_sharded_graph_label_raises(toy_graph, sg4, mesh24):
+def test_sharded_graph_label_requires_members(toy_graph, sg4, mesh24):
+    # toy graph has no 'graph_label' feature -> clear error, not a crash
     def fn(view, key):
         return sampling.sample_graph_label(view, key, 4)
 
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError, match="graph_label"):
         _run_sharded(mesh24, sg4, fn, jax.random.PRNGKey(0))
+
+
+def test_sharded_graph_label_parity(tmp_path_factory):
+    """Replicated membership table: graph-label verbs under the mesh give
+    the single-chip answers (reference: get_graph_by_label_op.cc)."""
+    from euler_tpu.datasets.synthetic import MotifDataset
+    d = tmp_path_factory.mktemp("motif_sh")
+    ds = MotifDataset(str(d), n_graphs=12, seed=0)
+    graph = ds.load_graph()
+    g = graph.tensors
+    sg = sharded.build_sharded(graph, 4)
+    assert sg.graph_members is not None
+    mesh = mesh_lib.make_mesh(data=2, graph=4)
+    gidx = jnp.asarray([0, 3, 7, 11], jnp.int32)
+
+    want = [np.asarray(x) for x in sampling.get_graph_by_label(g, gidx)]
+
+    def fn(view, gidx, key):
+        members, mask, nid = sampling.get_graph_by_label(view, gidx)
+        lab = sampling.sample_graph_label(view, key, 4)
+        return members, mask, nid, lab
+
+    members, mask, nid, lab = _run_sharded(
+        mesh, sg, fn, gidx, jax.random.PRNGKey(0))
+    np.testing.assert_array_equal(np.asarray(members), want[0])
+    np.testing.assert_array_equal(np.asarray(mask), want[1])
+    np.testing.assert_array_equal(np.asarray(nid), want[2])
+    lab = np.asarray(lab)
+    assert ((lab >= 0) & (lab < 12)).all()
+
+
+def test_sharded_in_neighbor_parity(toy_graph, sg4, mesh24):
+    """Sharded in-neighbor verbs vs the single-chip in-CSR
+    (reference: node.h:87-112 served by the dst shard)."""
+    g = toy_graph.tensors
+    assert sg4.in_group_ptr is not None
+    ets = (0, 1)
+    nodes = jnp.asarray([0, 1, 2, 3, 4, 5, 6, 7], jnp.int32)
+
+    want = [np.asarray(x) for x in sampling.get_full_in_neighbor(
+        g, nodes, ets, cap=8, sorted_by_id=True)]
+
+    def fn_full(view, nodes):
+        return sampling.get_full_in_neighbor(view, nodes, ets, cap=8,
+                                             sorted_by_id=True)
+
+    got = [np.asarray(x)[:8] for x in _run_sharded(mesh24, sg4, fn_full,
+                                                   nodes)]
+    np.testing.assert_array_equal(got[0], want[0])   # neighbor ids
+    np.testing.assert_allclose(got[1], want[1], rtol=1e-6)   # weights
+    np.testing.assert_array_equal(got[3], want[3])   # eids
+    np.testing.assert_array_equal(got[4], want[4])   # mask
+
+    # weighted sampling: every draw must be a true in-neighbor, and the
+    # empirical distribution must match the in-group weights
+    def fn_samp(view, nodes, key):
+        return sampling.sample_in_neighbor(view, key, nodes, ets, 2000)
+
+    nbr, w, ty, eid = (np.asarray(x)[:8] for x in _run_sharded(
+        mesh24, sg4, fn_samp, nodes, jax.random.PRNGKey(3)))
+    in_sets = {}
+    for i, (s, d, et, ww) in enumerate(fixtures.EDGES):
+        in_sets.setdefault(int(toy_graph.local_id(d)), set()).add(
+            int(toy_graph.local_id(s)))
+    for i in range(8):
+        drawn = set(nbr[i][nbr[i] >= 0].tolist())
+        assert drawn <= in_sets.get(i, set()), (i, drawn, in_sets.get(i))
