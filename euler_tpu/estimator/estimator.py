@@ -377,6 +377,24 @@ class EdgeEstimator(BaseEstimator):
                                  hit_ks=hit_ks)
 
 
+def make_graph_batch(g, graph_idx, label_name, num_classes):
+    """Graph-classification model input from graph indices: membership
+    block + one-hot labels from the first member node's dense feature
+    (reference: graph_estimator.py:45-56). Works on both the single-chip
+    tensors and a sharded mesh view (the feature fetch dispatches)."""
+    members, mask, node_graph_idx = sampling.get_graph_by_label(
+        g, graph_idx)
+    first = members[:, 0]
+    (lab,) = feature_ops.get_dense_feature(g, first, [label_name])
+    label = jax.nn.one_hot(lab[:, 0].astype(jnp.int32), num_classes)
+    label = jnp.where((graph_idx >= 0)[:, None], label, 0.0)
+    return dict(node_ids=members.reshape(-1),
+                mask=mask.reshape(-1) & (graph_idx >= 0).repeat(
+                    members.shape[1]),
+                node_graph_idx=node_graph_idx,
+                label=label)
+
+
 class GraphEstimator(BaseEstimator):
     """Graph-classification loops: sample_graph_label ->
     get_graph_by_label -> one-hot labels from the first member node's
@@ -390,18 +408,8 @@ class GraphEstimator(BaseEstimator):
         self.num_classes = num_classes
 
     def _make_batch(self, g, graph_idx):
-        members, mask, node_graph_idx = sampling.get_graph_by_label(
-            g, graph_idx)
-        first = members[:, 0]
-        (lab,) = feature_ops.get_dense_feature(g, first, [self.label_name])
-        label = jax.nn.one_hot(lab[:, 0].astype(jnp.int32),
-                               self.num_classes)
-        label = jnp.where((graph_idx >= 0)[:, None], label, 0.0)
-        return dict(node_ids=members.reshape(-1),
-                    mask=mask.reshape(-1) & (graph_idx >= 0).repeat(
-                        members.shape[1]),
-                    node_graph_idx=node_graph_idx,
-                    label=label)
+        return make_graph_batch(g, graph_idx, self.label_name,
+                                self.num_classes)
 
     def train_batch(self, g, key):
         gidx = sampling.sample_graph_label(g, key, self.config.batch_size)

@@ -765,9 +765,23 @@ def get_node_type_sharded(view: ShardView, nodes):
     return (_owner_to_mine(view, ty, b) - 1).reshape(shape_in)
 
 
+def _sync_key(view: ShardView, key):
+    """Graph-group-uniform PRNG key.
+
+    The shard-choice ops (global node/edge sampling) are cooperative:
+    every member of a graph group must draw the SAME shard_choice or the
+    masked psum merge sums contributions from several claimed owners
+    (garbage ids). Callers inside shard_map often hold per-device keys
+    (e.g. a model's "sample" rng folded per member), so these ops
+    synchronize on member 0's key themselves rather than relying on
+    caller discipline."""
+    return jax.lax.all_gather(key, view.axis)[0]
+
+
 def sample_node_sharded(view: ShardView, key, count, node_type=-1):
     """Proportional cross-shard root sampling
     (reference: query_proxy.cc:93-145)."""
+    key = _sync_key(view, key)
     S = view.num_shards
     NT = view.meta.num_node_types
     if isinstance(node_type, str):
@@ -801,6 +815,7 @@ def sample_node_sharded(view: ShardView, key, count, node_type=-1):
 
 
 def sample_edge_sharded(view: ShardView, key, count, edge_type=-1):
+    key = _sync_key(view, key)
     S = view.num_shards
     ET = view.meta.num_edge_types
     if isinstance(edge_type, str):
@@ -891,6 +906,7 @@ def sample_node_with_src_sharded(view: ShardView, key, src, count):
     """Same-type negative sampling under a mesh: resolve each src's type
     from its owner, then proportional shard choice + per-shard typed alias
     draw (query_proxy.cc:93-145 applied per row)."""
+    key = _sync_key(view, key)
     src = jnp.asarray(src, jnp.int32).reshape(-1)
     b = src.shape[0]
     alln = _spread(view, src)
@@ -1046,6 +1062,7 @@ def sample_node_with_condition_sharded(view: ShardView, key, count, dnf,
     proportional shard choice over gathered totals, local masked-CDF draw
     (reference: index-backed sample_node_op.cc:65-103 behind query_proxy
     shard weighting)."""
+    key = _sync_key(view, key)
     from euler_tpu.ops import index as index_ops
     mask = index_ops.dnf_mask(view, dnf)
     if node_type != -1:

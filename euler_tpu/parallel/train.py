@@ -4,14 +4,24 @@ TPU-native counterpart of the reference's distributed training
 (reference: between-graph TF replication + parameter servers,
 tf_euler/scripts/dist_tf_euler.sh and base_estimator.py:164-166, with
 graph lookups served by remote shard servers). Here one shard_map-ped
-train step does everything: per-device root sampling, cross-shard
-neighbor/feature exchange (psum/all_gather inside the ops), local conv
+train step does everything: per-device batch sampling, cross-shard
+neighbor/feature exchange (collectives inside the ops), local conv
 compute, and gradient psum — parameters replicated, optimizer outside.
+
+Batch sources are two hooks mirroring the estimator layer's
+get_train_from_input (node_estimator.py:31-34, edge_estimator.py:32-45,
+graph_estimator.py:45-56):
+  * ``ids_fn(view, key, n) -> [n, ...]`` draws the batch ids (nodes,
+    edge triples, or graph indices). It runs REPLICATED across each
+    graph group (the group shares one draw so the collective owner
+    exchange sees identical queries), then each member slices its rows.
+  * ``expand_fn(view, ids) -> batch`` (optional) turns the sliced ids
+    into the model's input (e.g. graph-label membership blocks).
 """
 from __future__ import annotations
 
 import functools
-from typing import Any, Callable
+from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -23,33 +33,71 @@ from euler_tpu.parallel.sharded import (ShardedGraphTensors, shard_specs,
 from euler_tpu.ops import sampling
 
 
+def node_ids_fn(node_type=-1):
+    """Default batch source: weighted global node sampling
+    (node_estimator.py:31-34)."""
+    def ids_fn(view, key, n):
+        return sampling.sample_node(view, key, n, node_type)
+    return ids_fn
+
+
+def edge_ids_fn(edge_type=-1):
+    """Edge-model batch source: sampled (src, dst, etype) triples
+    stacked [n, 3] (edge_estimator.py:32-45)."""
+    def ids_fn(view, key, n):
+        src, dst, ty, _ = sampling.sample_edge(view, key, n, edge_type)
+        return jnp.stack([src, dst, ty], axis=1)
+    return ids_fn
+
+
+def graph_ids_fn():
+    """Graph-classification batch source: uniform graph indices
+    (graph_estimator.py:45-56)."""
+    def ids_fn(view, key, n):
+        return sampling.sample_graph_label(view, key, n)
+    return ids_fn
+
+
+def _local_batch(view, key, ids_fn, expand_fn, batch_per_device, S):
+    """One device's model input + sample key inside shard_map."""
+    di = jax.lax.axis_index("data")
+    gi = jax.lax.axis_index("graph")
+    # the whole graph-group shares one draw (collective owner combine
+    # needs identical queries), then each member takes a slice
+    kroots, ksample = jax.random.split(jax.random.fold_in(key, di))
+    ids_all = ids_fn(view, kroots, batch_per_device * S)
+    ids = jax.lax.dynamic_slice_in_dim(ids_all, gi * batch_per_device,
+                                       batch_per_device, axis=0)
+    batch = expand_fn(view, ids) if expand_fn is not None else ids
+    return batch, jax.random.fold_in(ksample, gi)
+
+
 def make_sharded_train_step(model, sg: ShardedGraphTensors,
                             tx: optax.GradientTransformation, mesh: Mesh,
-                            batch_per_device: int, node_type=-1):
+                            batch_per_device: int, node_type=-1,
+                            ids_fn: Optional[Callable] = None,
+                            expand_fn: Optional[Callable] = None,
+                            steps_per_loop: int = 1):
     """Returns jitted ``step(params, opt_state, sg, key) ->
     (params, opt_state, loss)``.
 
     Layout: params/opt_state replicated; graph arrays P('graph'); each
     device trains on ``batch_per_device`` roots (global batch =
-    batch_per_device * n_devices).
+    batch_per_device * n_devices). ``steps_per_loop > 1`` scans that many
+    optimizer steps inside ONE device program (the estimator's
+    steps_per_loop semantics — amortizes host->device dispatch, the
+    tunneled-TPU analog of the reference's per-batch RPC overhead).
     """
     S = sg.num_shards
     gspecs = shard_specs(sg)
-    data_size = mesh.shape["data"]
+    if ids_fn is None:
+        ids_fn = node_ids_fn(node_type)
 
     def local_loss(params, sg_block, key):
         view = to_view(sg_block, "graph")
-        di = jax.lax.axis_index("data")
-        gi = jax.lax.axis_index("graph")
-        # the whole graph-group shares one root draw (collective owner
-        # combine needs identical queries), then each member takes a slice
-        kroots, ksample = jax.random.split(jax.random.fold_in(key, di))
-        roots_all = sampling.sample_node(view, kroots,
-                                         batch_per_device * S, node_type)
-        roots = jax.lax.dynamic_slice_in_dim(
-            roots_all, gi * batch_per_device, batch_per_device)
-        ksample = jax.random.fold_in(ksample, gi)
-        out = model.apply(params, view, roots, rngs={"sample": ksample})
+        batch, ksample = _local_batch(view, key, ids_fn, expand_fn,
+                                      batch_per_device, S)
+        out = model.apply(params, view, batch, rngs={"sample": ksample})
         return out["loss"]
 
     def sharded_step(params, opt_state, sg_in, key):
@@ -71,21 +119,40 @@ def make_sharded_train_step(model, sg: ShardedGraphTensors,
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
-    return jax.jit(sharded_step, donate_argnums=(0, 1))
+    if steps_per_loop <= 1:
+        return jax.jit(sharded_step, donate_argnums=(0, 1))
+
+    def run_loop(params, opt_state, sg_in, key):
+        def body(carry, i):
+            p, o = carry
+            p, o, loss = sharded_step(p, o, sg_in,
+                                      jax.random.fold_in(key, i))
+            return (p, o), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state),
+            jnp.arange(steps_per_loop, dtype=jnp.int32))
+        return params, opt_state, losses[-1]
+
+    return jax.jit(run_loop, donate_argnums=(0, 1))
 
 
 def init_sharded_params(model, sg: ShardedGraphTensors, mesh: Mesh,
                         batch_per_device: int, seed: int = 0,
-                        node_type=-1):
+                        node_type=-1, ids_fn: Optional[Callable] = None,
+                        expand_fn: Optional[Callable] = None):
     """Initialize params by running the model once inside shard_map."""
     S = sg.num_shards
     gspecs = shard_specs(sg)
+    if ids_fn is None:
+        ids_fn = node_ids_fn(node_type)
 
     def init_body(sg_block, key):
         view = to_view(sg_block, "graph")
-        roots = sampling.sample_node(view, jax.random.fold_in(key, 1),
-                                     batch_per_device, node_type)
-        params = model.init({"params": key, "sample": key}, view, roots)
+        batch, ksample = _local_batch(view, key, ids_fn, expand_fn,
+                                      batch_per_device, S)
+        params = model.init({"params": key, "sample": ksample}, view,
+                            batch)
         return params
 
     with mesh:
@@ -94,6 +161,24 @@ def init_sharded_params(model, sg: ShardedGraphTensors, mesh: Mesh,
             out_specs=P(), check_vma=False,
         ))(sg, jax.random.PRNGKey(seed))
     return params
+
+
+def make_sharded_apply(model, sg: ShardedGraphTensors, mesh: Mesh,
+                       expand_fn: Optional[Callable] = None):
+    """Jitted replicated-batch apply for sharded evaluate/infer:
+    ``fn(sg, params, batch, key) -> out dict`` (batch replicated; every
+    device computes the full answer through the collective verbs)."""
+    gspecs = shard_specs(sg)
+
+    def body(sg_block, params, batch, key):
+        view = to_view(sg_block, "graph")
+        if expand_fn is not None:
+            batch = expand_fn(view, batch)
+        return model.apply(params, view, batch, rngs={"sample": key})
+
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=(gspecs, P(), P(), P()),
+        out_specs=P(), check_vma=False))
 
 
 def place_sharded_graph(sg: ShardedGraphTensors, mesh: Mesh):

@@ -80,7 +80,29 @@ def define_run_flags(parser: Optional[argparse.ArgumentParser] = None
     p.add_argument("--infer_dir", default=None)
     p.add_argument("--profile", action="store_true",
                    help="capture a jax.profiler trace of training")
+    p.add_argument("--mesh", default=None,
+                   help="train multi-chip over a (data, graph) device "
+                        "mesh: 'data=D,graph=G', 'DxG', or 'auto' "
+                        "(graph axis = all devices). Requires D*G == "
+                        "jax.device_count(); the reference's equivalent "
+                        "is dist_tf_euler.sh PS/worker launch")
     return p
+
+
+def parse_mesh_flag(spec):
+    """'data=D,graph=G' | 'DxG' | 'auto' -> (data, graph) axis sizes."""
+    import jax
+    n = jax.device_count()
+    if spec in ("auto", ""):
+        return 1, n
+    if "=" in spec:
+        kv = dict(part.split("=") for part in spec.split(","))
+        d, g = int(kv.get("data", 1)), int(kv.get("graph", 1))
+    else:
+        d, g = (int(x) for x in spec.lower().split("x"))
+    if d * g != n:
+        raise ValueError(f"--mesh {spec}: {d}x{g} != device count {n}")
+    return d, g
 
 
 _DEFAULTS: Dict[str, Any] = {}

@@ -18,7 +18,20 @@ from euler_tpu.datasets import get_dataset  # noqa: E402
 from euler_tpu.estimator.estimator import (EdgeEstimator,  # noqa: E402
                                            GraphEstimator, NodeEstimator,
                                            RunConfig)
-from euler_tpu.utils.config import apply_defaults, define_run_flags  # noqa
+from euler_tpu.estimator.spmd import (SpmdEdgeEstimator,  # noqa: E402
+                                      SpmdGraphEstimator,
+                                      SpmdNodeEstimator)
+from euler_tpu.utils.config import (apply_defaults,  # noqa: E402
+                                    define_run_flags, parse_mesh_flag)
+
+
+def _make_mesh(args):
+    """None unless --mesh was given; else the (data, graph) Mesh."""
+    if getattr(args, "mesh", None) is None:
+        return None
+    from euler_tpu.parallel import mesh as mesh_lib
+    d, g = parse_mesh_flag(args.mesh)
+    return mesh_lib.make_mesh(data=d, graph=g)
 
 
 def parse_flags(argv=None, **defaults):
@@ -51,41 +64,67 @@ def run_node_model(args, ds, graph, model, metric="f1",
         else ds.train_node_type
     if isinstance(tnt, str):
         tnt = graph.meta.node_type_id(tnt)
-    est = NodeEstimator(model, graph, cfg, train_node_type=tnt)
+    mesh = _make_mesh(args)
+    if mesh is not None:
+        est = SpmdNodeEstimator(model, graph, cfg, train_node_type=tnt,
+                                mesh=mesh)
+    else:
+        est = NodeEstimator(model, graph, cfg, train_node_type=tnt)
     return _dispatch(args, ds, est)
 
 
 def run_edge_model(args, ds, graph, model, metric="mrr",
                    train_edge_type=-1):
     cfg = make_config(args, ds, metric)
-    est = EdgeEstimator(model, graph, cfg, train_edge_type=train_edge_type)
+    mesh = _make_mesh(args)
+    if mesh is not None:
+        est = SpmdEdgeEstimator(model, graph, cfg,
+                                train_edge_type=train_edge_type, mesh=mesh)
+    else:
+        est = EdgeEstimator(model, graph, cfg,
+                            train_edge_type=train_edge_type)
     return _dispatch(args, ds, est)
 
 
 def run_graph_model(args, ds, graph, model, label_name="label",
                     num_classes=2):
     cfg = make_config(args, ds, "accuracy")
-    est = GraphEstimator(model, graph, cfg, label_name=label_name,
-                         num_classes=num_classes)
+    mesh = _make_mesh(args)
+    if mesh is not None:
+        est = SpmdGraphEstimator(model, graph, cfg, label_name=label_name,
+                                 num_classes=num_classes, mesh=mesh)
+    else:
+        est = GraphEstimator(model, graph, cfg, label_name=label_name,
+                             num_classes=num_classes)
     return _dispatch(args, ds, est)
 
 
 def kg_test_triples(ds, graph) -> np.ndarray:
     """(head, rel, tail) dataset triples -> [T,3] (src, dst, etype) model
     batches, mapping raw relation indices through the graph's type table."""
+    return kg_test_triples_meta(ds, graph.meta)
+
+
+def kg_test_triples_meta(ds, meta) -> np.ndarray:
     hrt = np.asarray(ds.test_triples, np.int64)
-    rel_to_type = np.asarray([graph.meta.edge_type_id(f"r{r}")
-                              for r in range(graph.meta.num_edge_types)])
+    rel_to_type = np.asarray([meta.edge_type_id(f"r{r}")
+                              for r in range(meta.num_edge_types)])
     return np.stack([hrt[:, 0], hrt[:, 2], rel_to_type[hrt[:, 1]]],
                     axis=1).astype(np.int32)
+
+
+def _is_edge_est(est):
+    return isinstance(est, (EdgeEstimator, SpmdEdgeEstimator))
 
 
 def _eval_ids(args, ds, est):
     """The evaluation input: test triples for edge models with a KG
     dataset (reference evaluates TransX from triple id files), node/graph
     ids otherwise."""
-    if isinstance(est, EdgeEstimator) and hasattr(ds, "test_triples"):
-        return kg_test_triples(ds, est.graph)
+    if _is_edge_est(est) and hasattr(ds, "test_triples"):
+        g = est.graph if hasattr(est, "graph") else est
+        meta = g.meta if hasattr(g, "meta") else est.sg.meta
+        return kg_test_triples_meta(ds, meta)
     return ds.test_ids
 
 
