@@ -659,17 +659,103 @@ def sample_neighbor_sharded(view: ShardView, key, nodes, ets, count,
     return nbr, w, ty, eid
 
 
+# --- owner-compute gating (VERDICT r3 #4: per-shard gather count must
+# not scale with S). When enabled, each shard compacts the S*b spread
+# rows down to the <= OWNER_COMPUTE_SLACK*b rows it OWNS before doing
+# the expensive pack gathers; rows past capacity degrade to explicit
+# invalid padding (never garbage). Auto-gated: small or skewed batches
+# (b < OWNER_COMPUTE_MIN * S) keep the exact full-spread path, so worst
+# -case ownership skew cannot overflow in the regimes that use it.
+OWNER_COMPUTE_SLACK = 4
+OWNER_COMPUTE_MIN = 16
+_owner_compute_force = None   # tests: True/False override
+
+
+def set_owner_compute(flag):
+    global _owner_compute_force
+    _owner_compute_force = flag
+
+
+def _owner_cap(b, S):
+    """Capacity of the compacted buffer, or None for the exact path."""
+    if _owner_compute_force is False:
+        return None
+    cap = min(OWNER_COMPUTE_SLACK * b, S * b)
+    if _owner_compute_force:
+        return cap
+    if S <= OWNER_COMPUTE_SLACK or b < OWNER_COMPUTE_MIN * S:
+        return None
+    return cap
+
+
+def _compact_owned(view: ShardView, spread_nodes, cap):
+    """(buf_row [cap], buf_has [cap], sel_ok [S*b]) — indices of the
+    first ``cap`` rows this shard owns, via prefix-sum compaction (no
+    sort). ``sel_ok`` marks the spread rows that made it in."""
+    owned, _ = _own_rows(view, spread_nodes)
+    pos = jnp.cumsum(owned.astype(jnp.int32)) - 1
+    sel_ok = owned & (pos < cap)
+    tgt = jnp.where(sel_ok, pos, cap)
+    n = spread_nodes.shape[0]
+    buf_row = jnp.zeros((cap,), jnp.int32).at[tgt].set(
+        jnp.arange(n, dtype=jnp.int32), mode="drop")
+    buf_has = jnp.zeros((cap,), bool).at[tgt].set(True, mode="drop")
+    return buf_row, buf_has, sel_ok
+
+
 def sample_neighbor_fast_sharded(view: ShardView, key, nodes, ets, count,
                                  default_id=-1):
     """Ids-only sampling over the per-shard packed fan rows — the sharded
     mirror of ops.sampling.sample_neighbor_fast: each owner serves every
     draw for a root from ONE 128-lane fan-row gather, then only the drawn
-    ids ride the combine collective. Returns (ids [b, count], valid)."""
+    ids ride the combine collective. Returns (ids [b, count], valid).
+
+    With owner-compute active (see _owner_cap) the pack gathers run on a
+    compacted [cap]-row buffer instead of all S*b spread rows, so
+    per-shard work is O(b), independent of the shard count
+    (reference: SURVEY §2.5 bucket-by-owner plan, id_split_op.cc:46-48).
+    """
     nodes = jnp.asarray(nodes, jnp.int32)
     b = nodes.shape[0]
-    nodes = _spread(view, nodes)
+    spread = _spread(view, nodes)
+    S = view.num_shards
+    cap = _owner_cap(b, S)
+    if cap is not None:
+        buf_row, buf_has, sel_ok = _compact_owned(view, spread, cap)
+        cnodes = jnp.where(buf_has, spread[buf_row], -1)
+        ids_c, ok_c = _fan_draw_local(view, key, cnodes, ets, count,
+                                      default_id)
+        ok_c = ok_c & buf_has[:, None]
+        scat = jnp.where(buf_has, buf_row, spread.shape[0])
+        ids_full = jnp.full((spread.shape[0], count), default_id,
+                            jnp.int32).at[scat].set(
+            jnp.where(ok_c, ids_c, default_id), mode="drop")
+        ok_full = jnp.zeros((spread.shape[0], count), bool).at[scat].set(
+            ok_c, mode="drop")
+        ids = _route_ids(view, sel_ok[:, None], ids_full, b, default_id)
+        valid = _route_vals(view, sel_ok[:, None],
+                            ok_full.astype(jnp.int32), b) > 0
+        return jnp.where(valid, ids, default_id), valid
+
+    owned, _ = _own_rows(view, spread)
+    ids_all, ok_all = _fan_draw_local(view, key, spread, ets, count,
+                                      default_id)
+    ok_all = ok_all & owned[:, None]
+    ids = _route_ids(view, owned[:, None],
+                     jnp.where(ok_all, ids_all, default_id), b,
+                     default_id)
+    valid = _route_vals(view, owned[:, None], ok_all.astype(jnp.int32),
+                        b) > 0
+    return jnp.where(valid, ids, default_id), valid
+
+
+def _fan_draw_local(view: ShardView, key, nodes, ets, count, default_id):
+    """Per-shard fan-row draws for LOCAL-OWNED global ids (no
+    collectives): (ids [B, count], ok). Rows with nodes < 0 are invalid.
+    """
     B = nodes.shape[0]
-    owned, rows = _own_rows(view, nodes)
+    rows = jnp.clip(jnp.maximum(nodes, 0) // view.num_shards, 0,
+                    view.node_type.shape[0] - 1)
     ET = view.meta.num_edge_types
     et_arr = jnp.asarray(ets, jnp.int32)
     K = len(ets)
@@ -714,21 +800,37 @@ def sample_neighbor_fast_sharded(view: ShardView, key, nodes, ets, count,
 
     prob = jax.lax.bitcast_convert_type(pick(prob_bank), jnp.float32)
     ids = jnp.where(u2 < prob, pick(kept_bank), pick(alias_bank))
-    ok = owned[:, None] & (deg_c > 0) & (total > 0)[:, None]
-    ids = jnp.where(ok, ids, default_id)
-    ids = _route_ids(view, owned[:, None], ids, b, default_id)
-    valid = _route_vals(view, owned[:, None], ok.astype(jnp.int32), b) > 0
-    return jnp.where(valid, ids, default_id), valid
+    ok = (nodes >= 0)[:, None] & (deg_c > 0) & (total > 0)[:, None]
+    return jnp.where(ok, ids, default_id), ok
 
 
 def get_dense_feature_sharded(view: ShardView, nodes, names):
+    """Owner-served dense feature rows. With owner-compute active the
+    (dominant) [*, d] table gathers run on the compacted owned-row
+    buffer, O(b) per shard instead of O(S*b)."""
     nodes = jnp.asarray(nodes, jnp.int32)
     shape_in = nodes.shape
     flat_in = nodes.reshape(-1)
     b = flat_in.shape[0]
     flat_all = _spread(view, flat_in)
-    owned, rows = _own_rows(view, flat_all)
+    S = view.num_shards
+    cap = _owner_cap(b, S)
     out = []
+    if cap is not None:
+        buf_row, buf_has, sel_ok = _compact_owned(view, flat_all, cap)
+        crow = jnp.clip(jnp.maximum(flat_all[buf_row], 0) // S, 0,
+                        view.node_type.shape[0] - 1)
+        scat = jnp.where(buf_has, buf_row, flat_all.shape[0])
+        for n in names:
+            tab = view.dense_nf[n]
+            vc = jnp.where(buf_has[:, None], tab[crow], 0.0)
+            v = jnp.zeros((flat_all.shape[0], tab.shape[-1]),
+                          tab.dtype).at[scat].set(vc, mode="drop")
+            v = _owner_to_mine(view, jnp.where(sel_ok[:, None], v, 0.0),
+                               b)
+            out.append(v.reshape(shape_in + (tab.shape[-1],)))
+        return out
+    owned, rows = _own_rows(view, flat_all)
     for n in names:
         tab = view.dense_nf[n]
         v = jnp.where(owned[:, None], tab[rows], 0.0)
