@@ -331,7 +331,9 @@ class PPI(NamedDataset):
             lab = class_map[str(nid)] if str(nid) in class_map \
                 else class_map[nid]
             nodes.append({"id": idx, "type": typ,
-                          "weight": float(deg.get(nid, 0)) or 1.0,
+                          # true degree, 0 for isolated nodes — matches
+                          # the reference's ppi.py convert2json weights
+                          "weight": float(deg.get(nid, 0)),
                           "features": [
                               {"name": "feature", "type": "dense",
                                "value": list(map(float, feats[idx]))},

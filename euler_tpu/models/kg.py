@@ -158,6 +158,11 @@ def rank_all_entities(model: "TransX", params, g: GraphTensors, triples,
     n_rel = model.n_relations
     ftabs = None
     if filter_known is not None:
+        if model.n_entities * n_rel >= 2 ** 31:
+            raise ValueError(
+                f"filtered ranking keys (entity*{n_rel}+rel) overflow "
+                f"int32 for n_entities={model.n_entities}; shard the "
+                "eval by relation or use the unfiltered setting")
         fk = np.asarray(filter_known, np.int64)
         ftabs = {}
         for name, a, o in (("tail", 0, 1), ("head", 1, 0)):

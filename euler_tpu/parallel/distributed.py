@@ -132,41 +132,81 @@ def _part_fields(meta: GraphMeta, S: int, n_max: int, e_max: int,
         dense_nf, sparse_nf, binary_hash, dense_ef, sparse_ef)
 
 
+def _shard_part(path: str, meta: GraphMeta, s: int, S: int):
+    """Shard s's raw rows, re-routed from the partition files.
+
+    Partitioning is ``local_id % n_partitions`` and shard ownership is
+    ``local_id % S``; when P != S, shard s's nodes live exactly in the
+    partitions ``p ≡ s (mod gcd(P, S))`` (CRT), so only those files are
+    read and their rows filtered — the reference decouples partition
+    count from shard count with the same double modulo
+    ``(id % partition_number) % shard_num`` (id_split_op.cc:46-48).
+    """
+    import math
+
+    P_ = meta.n_partitions
+    if P_ == S:
+        return dict(np.load(os.path.join(path, f"part_{s}.npz"),
+                            allow_pickle=False))
+    g = math.gcd(P_, S)
+    chunks = []
+    for p in range(s % g, P_, g):
+        part = dict(np.load(os.path.join(path, f"part_{p}.npz"),
+                            allow_pickle=False))
+        nsel = (part["node_local"] % S) == s
+        esel = (part["src"] % S) == s
+        out = {}
+        for k, v in part.items():
+            if k.startswith(("ef_", "src", "dst", "etype", "ew", "eid")):
+                out[k] = v[esel]
+            else:
+                out[k] = v[nsel]
+        chunks.append(out)
+    merged = {k: np.concatenate([c[k] for c in chunks])
+              for k in chunks[0]}
+    # node rows are positional (local row = v // S): restore ascending
+    # global-id order after the partition-major concatenation
+    order = np.argsort(merged["node_local"], kind="stable")
+    edge_keys = ("src", "dst", "etype", "ew", "eid")
+    for k in merged:
+        if not (k.startswith("ef_") or k in edge_keys):
+            merged[k] = merged[k][order]
+    return merged
+
+
 def load_graph_sharded(path: str, mesh: Mesh) -> ShardedGraphTensors:
     """Per-host sharded load: read only the partitions this process's
     devices own; assemble the distributed stacked arrays.
 
-    Requires the graph converted with ``n_partitions == mesh 'graph' axis``
-    (partitioning is ``local_id % n_partitions``, matching the sharded
-    store's ``v % S`` ownership — id_split_op.cc:46-48 routing).
+    The partition count need NOT equal the mesh 'graph' axis: rows are
+    re-routed at load by ``local_id % S`` (see _shard_part), so an
+    8-partition shard set loads on a 4- or 16-shard mesh unchanged.
     """
     with open(os.path.join(path, _convert.META_FILE)) as f:
         meta = GraphMeta.from_json(f.read())
     S = mesh.shape["graph"]
-    if meta.n_partitions != S:
-        raise ValueError(
-            f"graph at {path} has {meta.n_partitions} partitions but the "
-            f"mesh 'graph' axis is {S}; convert with n_partitions={S} "
-            "(or load_graph + build_sharded on one host)")
     NT, ET = meta.num_node_types, meta.num_edge_types
     n_max = -(-meta.n_nodes // S)
 
-    if meta.part_edge_counts is not None:
-        e_max = max(1, *meta.part_edge_counts)
-    else:  # legacy shard set: peek at each partition's edge count
-        e_max = 1
-        for p in range(S):
-            with np.load(os.path.join(path, f"part_{p}.npz")) as d:
-                e_max = max(e_max, int(d["eid"].shape[0]))
-
     mine = _my_shard_ids(mesh, S)
+    parts = {s: _shard_part(path, meta, s, S) for s in mine}
+
+    if meta.n_partitions == S and meta.part_edge_counts is not None:
+        e_max = max(1, *meta.part_edge_counts)
+    else:
+        # the stacked arrays need ONE global e_max: agree on the max
+        # per-shard edge count across processes
+        e_max = max([1] + [len(p["eid"]) for p in parts.values()])
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+            e_max = int(np.asarray(multihost_utils.process_allgather(
+                np.asarray([e_max]))).max())
+
     fields_by_shard = {}
     node_w_tab = np.zeros((S, NT), np.float32)
     edge_w_tab = np.zeros((S, ET), np.float32)
     for s in mine:
-        part = dict(np.load(os.path.join(path, f"part_{s}.npz"),
-                            allow_pickle=False))
-        core, fields = _part_fields(meta, S, n_max, e_max, part)
+        core, fields = _part_fields(meta, S, n_max, e_max, parts[s])
         fields_by_shard[s] = fields
         node_w_tab[s] = core["node_w_row"]
         edge_w_tab[s] = core["edge_w_row"]

@@ -142,7 +142,9 @@ def main(argv=None):
                     "HTTP")
     p.add_argument("--dir", required=True,
                    help="estimator infer output directory")
-    p.add_argument("--host", default="0.0.0.0")
+    # loopback by default: the endpoints are unauthenticated — exposing
+    # them on all interfaces must be an explicit opt-in
+    p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8787)
     p.add_argument("--metric", default="l2",
                    choices=["l2", "ip", "cosine"])
