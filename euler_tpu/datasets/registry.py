@@ -366,22 +366,158 @@ class PPI(NamedDataset):
 
 
 class Reddit(NamedDataset):
+    """GraphSAGE reddit.zip: reddit-G.json / reddit-feats.npy /
+    reddit-id_map.json / reddit-class_map.json (same node_link format as
+    PPI with SCALAR class labels). reference: reddit.py + sage_util.py
+    load_data — features standardized by the train split's mean/std,
+    node weight = degree, edge type train_removed when either end is
+    val/test."""
+
     name = "reddit"
     feature_dim = 602
     label_dim = 41
     total_size = 232965
 
+    def has_raw(self):
+        return all(os.path.exists(os.path.join(self.raw_dir, f)) for f in
+                   ("reddit-G.json", "reddit-feats.npy",
+                    "reddit-id_map.json", "reddit-class_map.json"))
+
+    def raw_to_json(self):
+        import json as _json
+        with open(os.path.join(self.raw_dir, "reddit-G.json")) as f:
+            G = _json.load(f)
+        feats = np.load(os.path.join(self.raw_dir, "reddit-feats.npy"))
+        with open(os.path.join(self.raw_dir, "reddit-id_map.json")) as f:
+            id_map = _json.load(f)
+        with open(os.path.join(self.raw_dir, "reddit-class_map.json")) as f:
+            class_map = _json.load(f)
+        gnodes = G["nodes"]
+
+        def idx_of(nid):
+            return id_map[str(nid)] if str(nid) in id_map else id_map[nid]
+
+        n = len(gnodes)
+        # train-split standardization (sage_util.py:83-91 StandardScaler)
+        train_rows = [idx_of(nd["id"]) for nd in gnodes
+                      if not (nd.get("test") or nd.get("val"))]
+        mu = feats[train_rows].mean(axis=0)
+        sd = feats[train_rows].std(axis=0)
+        feats = (feats - mu) / np.where(sd > 0, sd, 1.0)
+
+        deg = {}
+        links = []
+        for e in G["links"]:
+            s, d = e["source"], e["target"]
+            sid = gnodes[s]["id"] if isinstance(s, int) and s < n else s
+            did = gnodes[d]["id"] if isinstance(d, int) and d < n else d
+            links.append((sid, did))
+            deg[sid] = deg.get(sid, 0) + 1
+            deg[did] = deg.get(did, 0) + 1
+
+        ncls = self.label_dim
+        nodes, is_eval = [], {}
+        is_test = np.zeros(n, bool)
+        for nd in gnodes:
+            nid = nd["id"]
+            idx = idx_of(nid)
+            typ = "test" if nd.get("test") else (
+                "val" if nd.get("val") else "train")
+            is_eval[nid] = typ != "train"
+            if idx < n:
+                is_test[idx] = bool(nd.get("test", False))
+            cls = class_map[str(nid)] if str(nid) in class_map \
+                else class_map[nid]
+            one_hot = [0.0] * ncls
+            one_hot[int(cls)] = 1.0
+            nodes.append({"id": idx, "type": typ,
+                          "weight": float(deg.get(nid, 0)),
+                          "features": [
+                              {"name": "feature", "type": "dense",
+                               "value": [float(v) for v in feats[idx]]},
+                              {"name": "label", "type": "dense",
+                               "value": one_hot}]})
+        edges = []
+        for sid, did in links:
+            et = "train_removed" if (is_eval.get(sid) or is_eval.get(did)) \
+                else "train"
+            si, di = idx_of(sid), idx_of(did)
+            for a, b in ((si, di), (di, si)):
+                edges.append({"src": a, "dst": b, "type": et,
+                              "weight": 1.0, "features": []})
+        self.feature_dim = int(feats.shape[1])
+        self.all_edge_type = ["train", "train_removed"]
+        self._test_mask = is_test
+        return {"nodes": nodes, "edges": edges}
+
 
 class Mutag(NamedDataset):
-    """Graph classification; delegates to MotifDataset's generator when no
-    raw data (reference: mutag.py)."""
+    """Graph classification from the TU-Dortmund files MUTAG_A.txt /
+    MUTAG_graph_indicator.txt / MUTAG_graph_labels.txt /
+    MUTAG_node_labels.txt (reference: mutag.py convert2json +
+    multigraph_util.gen_graph_json — 1-based ids, graph label
+    max(lbl, 0), per-node 'f1' sparse node label + 'label' dense graph
+    label + 'graph_label' binary membership). Delegates to
+    MotifDataset's generator when no raw data."""
 
     name = "mutag"
     feature_dim = 7
     label_dim = 2
     total_size = 3371
+    train_rate = 0.9
+
+    def _raw(self, suffix):
+        return os.path.join(self.raw_dir, f"MUTAG_{suffix}.txt")
+
+    def has_raw(self):
+        return all(os.path.exists(self._raw(s)) for s in
+                   ("A", "graph_indicator", "graph_labels", "node_labels"))
+
+    def raw_to_json(self):
+        def read_ints(path, split=None):
+            with open(path) as f:
+                return [line for line in (l.strip() for l in f) if line]
+
+        adj = [tuple(int(x.strip()) - 1 for x in line.split(","))
+               for line in read_ints(self._raw("A"))]
+        indicator = [int(l) - 1
+                     for l in read_ints(self._raw("graph_indicator"))]
+        graph_labels = [max(int(l), 0)
+                        for l in read_ints(self._raw("graph_labels"))]
+        node_labels = [int(l) for l in read_ints(self._raw("node_labels"))]
+        nodes = []
+        for i, nl in enumerate(node_labels):
+            gi = indicator[i]
+            nodes.append({
+                "id": i, "type": str(nl), "weight": 1.0,
+                "features": [
+                    {"name": "f1", "type": "sparse", "value": [nl]},
+                    {"name": "label", "type": "dense",
+                     "value": [float(graph_labels[gi])]},
+                    # zero-padded so the store's lexicographic
+                    # graph-label order equals the integer order
+                    {"name": "graph_label", "type": "binary",
+                     "value": f"g{gi:05d}"}]})
+        edges = [{"src": s, "dst": d, "type": "0", "weight": 1.0,
+                  "features": []} for s, d in adj]
+        n_graphs = len(graph_labels)
+        # reference id_file: the last (1 - train_rate) of graphs
+        self._graph_test_ids = np.arange(
+            int(n_graphs * self.train_rate), n_graphs, dtype=np.int32)
+        self.total_size = n_graphs
+        return {"nodes": nodes, "edges": edges}
 
     def load_graph(self) -> Graph:
+        if self.has_raw() or os.path.exists(
+                os.path.join(self.data_dir, "meta.json")):
+            g = super().load_graph()
+            G = (g.tensors.graph_members.shape[0]
+                 if g.tensors.graph_members is not None else 0)
+            ids = getattr(self, "_graph_test_ids", None)
+            self._test_ids = ids if ids is not None else np.arange(
+                int(G * self.train_rate), G, dtype=np.int32)
+            self.total_size = G
+            return g
         inner = MotifDataset(self.raw_dir, n_graphs=80, seed=3)
         self._inner = inner
         g = inner.load_graph()

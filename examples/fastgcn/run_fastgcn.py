@@ -5,5 +5,9 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 from common import run_conv_example  # noqa: E402
 
+def main(argv=None):
+    return run_conv_example("gcn", flow_name="fast", argv=argv)
+
+
 if __name__ == "__main__":
-    run_conv_example("gcn", flow_name="fast")
+    main()
