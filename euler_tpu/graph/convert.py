@@ -207,11 +207,12 @@ def write_shards(out_dir, meta, ext_ids, node_type, node_w,
     """
     import dataclasses
 
-    os.makedirs(out_dir, exist_ok=True)
+    from euler_tpu.utils import io as _io
+    _io.makedirs(out_dir)
     npart = meta.n_partitions
     meta = dataclasses.replace(meta, part_edge_counts=tuple(
         int(np.sum((src % npart) == p)) for p in range(npart)))
-    with open(os.path.join(out_dir, META_FILE), "w") as f:
+    with _io.open_file(_io.join(out_dir, META_FILE), "w") as f:
         f.write(meta.to_json())
 
     for p in range(npart):
@@ -246,7 +247,9 @@ def write_shards(out_dir, meta, ext_ids, node_type, node_w,
                 arrs[f"ef_splen:{name}"] = parts[1][esel]
             else:
                 arrs[f"ef_d:{name}"] = parts[0][esel]
-        np.savez_compressed(os.path.join(out_dir, f"part_{p}.npz"), **arrs)
+        with _io.open_file(_io.join(out_dir, f"part_{p}.npz"),
+                           "wb") as fh:
+            np.savez_compressed(fh, **arrs)
     return meta
 
 

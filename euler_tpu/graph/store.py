@@ -177,10 +177,16 @@ class GraphTensors:
 
 
 def _load_parts(path: str):
-    files = sorted(glob.glob(os.path.join(path, "part_*.npz")))
+    from euler_tpu.utils import io as _io
+    files = _io.glob(_io.join(path, "part_*.npz"))
     if not files:
         raise FileNotFoundError(f"no part_*.npz under {path}")
-    parts = [dict(np.load(f, allow_pickle=False)) for f in files]
+
+    def rd(f):
+        with _io.open_file(f, "rb") as fh:
+            return dict(np.load(fh, allow_pickle=False))
+
+    parts = [rd(f) for f in files]
     merged = {}
     for k in parts[0]:
         merged[k] = np.concatenate([p[k] for p in parts], axis=0)
@@ -392,7 +398,8 @@ class Graph:
 
 def load_graph(path: str, device_put: bool = True) -> Graph:
     """Load a converted shard directory (see convert.convert_json_graph)."""
-    with open(os.path.join(path, _convert.META_FILE)) as f:
+    from euler_tpu.utils import io as _io
+    with _io.open_file(_io.join(path, _convert.META_FILE), "r") as f:
         meta = GraphMeta.from_json(f.read())
     return Graph(meta, _load_parts(path), device_put=device_put)
 

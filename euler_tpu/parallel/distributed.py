@@ -145,14 +145,18 @@ def _shard_part(path: str, meta: GraphMeta, s: int, S: int):
     import math
 
     P_ = meta.n_partitions
+    from euler_tpu.utils import io as _io
+
+    def rd(p):
+        with _io.open_file(_io.join(path, f"part_{p}.npz"), "rb") as fh:
+            return dict(np.load(fh, allow_pickle=False))
+
     if P_ == S:
-        return dict(np.load(os.path.join(path, f"part_{s}.npz"),
-                            allow_pickle=False))
+        return rd(s)
     g = math.gcd(P_, S)
     chunks = []
     for p in range(s % g, P_, g):
-        part = dict(np.load(os.path.join(path, f"part_{p}.npz"),
-                            allow_pickle=False))
+        part = rd(p)
         nsel = (part["node_local"] % S) == s
         esel = (part["src"] % S) == s
         out = {}
@@ -182,7 +186,8 @@ def load_graph_sharded(path: str, mesh: Mesh) -> ShardedGraphTensors:
     re-routed at load by ``local_id % S`` (see _shard_part), so an
     8-partition shard set loads on a 4- or 16-shard mesh unchanged.
     """
-    with open(os.path.join(path, _convert.META_FILE)) as f:
+    from euler_tpu.utils import io as _io
+    with _io.open_file(_io.join(path, _convert.META_FILE), "r") as f:
         meta = GraphMeta.from_json(f.read())
     S = mesh.shape["graph"]
     NT, ET = meta.num_node_types, meta.num_edge_types

@@ -157,3 +157,28 @@ def test_unknown_dataset():
     from euler_tpu.datasets import get_dataset
     with pytest.raises(KeyError):
         get_dataset("nope")
+
+
+def test_io_layer_local_and_remote(tmp_path):
+    """utils.io: the FileIO-style abstraction (reference:
+    euler/common/file_io.h:34 posix + pluggable HDFS) — local paths via
+    stdlib; scheme:// paths need fsspec and fail with a clear error
+    when it is absent."""
+    from euler_tpu.utils import io as uio
+    p = uio.join(str(tmp_path), "sub", "x.txt")
+    with uio.open_file(p, "w") as f:     # creates parents
+        f.write("hello")
+    assert uio.exists(p)
+    with uio.open_file(p, "r") as f:
+        assert f.read() == "hello"
+    assert uio.glob(uio.join(str(tmp_path), "sub", "*.txt")) == [p]
+    assert uio.is_remote("gs://bucket/x") and not uio.is_remote(p)
+    try:
+        import fsspec  # noqa: F401
+        has_fsspec = True
+    except ImportError:
+        has_fsspec = False
+    if not has_fsspec:
+        import pytest as _pytest
+        with _pytest.raises(ImportError, match="fsspec"):
+            uio.open_file("gs://bucket/x.txt")
