@@ -197,12 +197,14 @@ def child():
     float(probe(jnp.ones((256, 256), jnp.float32)))
     _stage("probe_matmul_done")
 
-    # scale down on CPU so CI-style runs stay fast
-    n_nodes = 200_000 if on_tpu else 5_000
+    # scale down on CPU so CI-style runs stay fast; env knobs for sweeps
+    n_nodes = int(os.environ.get("EULER_BENCH_NODES",
+                                 200_000 if on_tpu else 5_000))
     avg_deg = 25
     feat_dim = 128
     n_classes = 16
-    batch = 1024 if on_tpu else 256
+    batch = int(os.environ.get("EULER_BENCH_BATCH",
+                               1024 if on_tpu else 256))
     fanout = [25, 10]
 
     def record(edges, seconds, phase):
@@ -212,7 +214,8 @@ def child():
                # a CPU number measured on a toy config must never read as
                # a chip result: vs_baseline only on real TPU hardware
                "vs_baseline": round(v / 1e8, 4) if on_tpu else None,
-               "platform": dev.platform, "phase": phase}
+               "platform": dev.platform, "phase": phase,
+               "config": f"b{batch}_f{fanout[0]}x{fanout[1]}_n{n_nodes}"}
         print(json.dumps(out), flush=True)
 
     _stage("build_graph")

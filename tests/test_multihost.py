@@ -19,7 +19,13 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 _WORKER = r"""
-import json, sys
+import json, os, signal, sys
+
+# wedged-worker guard: a hung child must kill itself rather than hang
+# the whole suite (the failure mode the bench watchdog defends against)
+signal.alarm(240)
+signal.signal(signal.SIGALRM, lambda *a: os._exit(3))
+
 import jax
 
 proc_id, nprocs, coord, graph_path, out_path = (

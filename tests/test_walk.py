@@ -109,3 +109,45 @@ def test_gen_pair_window2():
     # closed-form count from gen_pair_op.cc:47-55:
     # L*(lw+rw) - sum_{i} ... = 3*4 - (2+1) - (2+1) = 6
     assert pairs.shape == (1, 6, 2)
+
+
+def test_random_walk_exact_beyond_bias_cap(tmp_path):
+    """Quantifies the bias_cap truncation (VERDICT r3 weak #6): a hub
+    with degree > bias_cap only exposes its first bias_cap (CSR-order)
+    neighbors to the exact biased walk, but WITHIN the cap the p/q
+    reweighting matches the reference's BuildWeights distribution
+    (random_walk_op.cc:113-140)."""
+    import os
+    from euler_tpu.graph import convert, load_graph
+
+    cap = 16
+    deg = 2 * cap
+    # star: 0 -> 1..deg with weight j; plus an entry edge 100 -> 0 so the
+    # walk has a prev node (none of 1..deg neighbors 100 => m = 1/q)
+    nodes = [{"id": i, "type": "n", "weight": 1.0, "features": []}
+             for i in range(deg + 1)] + [
+        {"id": 100, "type": "n", "weight": 1.0, "features": []}]
+    edges = [{"src": 0, "dst": j, "type": "e", "weight": float(j),
+              "features": []} for j in range(1, deg + 1)]
+    edges.append({"src": 100, "dst": 0, "type": "e", "weight": 1.0,
+                  "features": []})
+    out = str(tmp_path / "hubcap")
+    convert.convert_json_graph({"nodes": nodes, "edges": edges}, out,
+                               n_partitions=1)
+    graph = load_graph(out)
+    g = graph.tensors
+    start = jnp.full((30_000,), graph.local_id(100), jnp.int32)
+    paths = np.asarray(walk.random_walk(
+        g, jax.random.PRNGKey(0), start, (0,), 2, p=0.5, q=2.0,
+        exact=True, bias_cap=cap))
+    second = paths[:, 2]          # the biased step out of the hub
+    exts = graph.ext_ids[np.maximum(second, 0)]
+    assert (second >= 0).all()
+    # truncation: neighbors beyond the first `cap` are never drawn
+    assert exts.max() <= cap, exts.max()
+    # within the cap the distribution is the exact reweighting: all
+    # candidates share m = 1/q (none neighbor 100, none equal 100), so
+    # relative probabilities stay proportional to the edge weights
+    freq = np.bincount(exts, minlength=cap + 1)[1:cap + 1] / len(exts)
+    w = np.arange(1, cap + 1, dtype=np.float64)
+    np.testing.assert_allclose(freq, w / w.sum(), atol=0.01)
