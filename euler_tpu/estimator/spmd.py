@@ -236,6 +236,19 @@ class SpmdEdgeEstimator(SpmdEstimator):
                 "EdgeEstimator)")
         return super()._batched_outs(ids)
 
+    def evaluate_ranking(self, triples, corrupt: str = "both",
+                         filter_known=None, hit_ks=(1, 3, 10)):
+        """Full-entity MR/MRR/Hit@k with mesh-trained params: the TransX
+        ranking path is pure embedding compute (rank_against_all never
+        reads the graph), so the replicated params evaluate directly
+        (protocol of examples/TransX/README.md)."""
+        from euler_tpu.models.kg import rank_all_entities
+        return rank_all_entities(self.model, self.params, None, triples,
+                                 batch_size=self.config.batch_size,
+                                 corrupt=corrupt,
+                                 filter_known=filter_known,
+                                 hit_ks=hit_ks)
+
 
 class SpmdGraphEstimator(SpmdEstimator):
     """Graph-classification over the mesh: replicated graph-label tables

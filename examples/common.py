@@ -141,10 +141,11 @@ def _dispatch(args, ds, est):
         out = est.train()
         out.update(est.evaluate(_eval_ids(args, ds, est)))
     if args.run_mode in ("evaluate", "train_and_evaluate") and \
-            isinstance(est, EdgeEstimator) and hasattr(ds, "test_triples"):
+            _is_edge_est(est) and hasattr(ds, "test_triples"):
         # full-entity ranking: the protocol behind the reference's FB15k
         # MeanRank/Hit@10 table (examples/TransX/README.md)
-        out.update(est.evaluate_ranking(kg_test_triples(ds, est.graph)))
+        meta = est.graph.meta if hasattr(est, "graph") else est.sg.meta
+        out.update(est.evaluate_ranking(kg_test_triples_meta(ds, meta)))
     print(f"[euler_tpu] {args.run_mode} done: "
           f"{ {k: v for k, v in out.items()} }")
     return out

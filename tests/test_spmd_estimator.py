@@ -195,3 +195,23 @@ def test_run_transe_mesh(tmp_path):
         "--model_dir", str(tmp_path / "te_mesh"),
         "--data_dir", str(tmp_path / "fbdata")])
     assert np.isfinite(out["loss"])
+
+
+def test_spmd_edge_evaluate_ranking(sbm, tmp_path):
+    ds, graph = sbm
+    model = kg.TransE(n_entities=graph.meta.n_nodes,
+                      n_relations=graph.meta.num_edge_types,
+                      ent_dim=8, rel_dim=8, num_negs=4)
+    cfg = RunConfig(model_dir=str(tmp_path / "spmd_rank"), batch_size=32,
+                    total_steps=4, log_steps=0, learning_rate=0.05,
+                    metric="mrr")
+    est = SpmdEdgeEstimator(model, graph, cfg)
+    est.train()
+    from euler_tpu.ops import sampling as _s
+    src, dst, ty, _ = _s.sample_edge(graph.tensors,
+                                     jax.random.PRNGKey(1), 32, -1)
+    triples = np.stack([np.asarray(src), np.asarray(dst),
+                        np.asarray(ty)], axis=1)
+    r = est.evaluate_ranking(triples)
+    assert np.isfinite(r["mr"]) and 1 <= r["mr"] <= graph.meta.n_nodes
+    assert 0 < r["mrr"] <= 1
