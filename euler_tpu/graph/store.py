@@ -186,7 +186,15 @@ def _load_parts(path: str):
         with _io.open_file(f, "rb") as fh:
             return dict(np.load(fh, allow_pickle=False))
 
-    parts = [rd(f) for f in files]
+    if len(files) > 1:
+        # parallel partition reads — zlib decompression and file IO both
+        # release the GIL (the reference's 8-thread partition loading,
+        # graph_builder.cc:57-157)
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=min(8, len(files))) as ex:
+            parts = list(ex.map(rd, files))
+    else:
+        parts = [rd(f) for f in files]
     merged = {}
     for k in parts[0]:
         merged[k] = np.concatenate([p[k] for p in parts], axis=0)

@@ -194,7 +194,11 @@ def load_graph_sharded(path: str, mesh: Mesh) -> ShardedGraphTensors:
     n_max = -(-meta.n_nodes // S)
 
     mine = _my_shard_ids(mesh, S)
-    parts = {s: _shard_part(path, meta, s, S) for s in mine}
+    # parallel per-shard partition reads (graph_builder.cc:57-157 role)
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=min(8, max(1, len(mine)))) as ex:
+        parts = dict(zip(mine, ex.map(
+            lambda s: _shard_part(path, meta, s, S), mine)))
 
     if meta.n_partitions == S and meta.part_edge_counts is not None:
         e_max = max(1, *meta.part_edge_counts)
