@@ -80,10 +80,20 @@ class SpmdEstimator(BaseEstimator):
 
     # ---- params / checkpointing (orbax helpers inherited) ------------------
     def _init_params(self, key=None):
-        return train_lib.init_sharded_params(
+        params = train_lib.init_sharded_params(
             self.model, self.sg, self.mesh, self.batch_per_device,
             seed=self.config.seed, ids_fn=self._ids_fn(),
             expand_fn=self._expand_fn())
+        extra = [k for k in params if k != "params"]
+        if extra:
+            raise NotImplementedError(
+                f"model carries mutable collections {extra} (e.g. "
+                "ScalableGNNNet's historical-embedding caches): per-"
+                "device cache writes need a cross-device merge that the "
+                "SPMD estimators don't implement yet — train this model "
+                "single-chip (BaseEstimator), where the caches are "
+                "supported")
+        return params
 
     def train(self, total_steps: Optional[int] = None,
               log_fn=print) -> Dict[str, float]:
