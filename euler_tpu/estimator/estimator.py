@@ -48,6 +48,8 @@ class RunConfig:
     learning_rate: float = 0.01
     log_steps: int = 100
     save_steps: int = 0          # 0 => only at end
+    keep_checkpoints: int = 5    # retain the newest N step dirs (the
+    # tf.estimator default the reference inherits via model_dir)
     seed: int = 0
     metric: str = "f1"
     profile: bool = False        # jax.profiler trace of steps 10-20
@@ -129,6 +131,14 @@ class BaseEstimator:
             ckptr.wait_until_finished()
             with open(os.path.join(self._ckpt_dir(), "latest"), "w") as f:
                 f.write(str(step))
+            keep = getattr(self.config, "keep_checkpoints", 0)
+            if keep > 0:
+                import shutil
+                steps = sorted((int(d) for d in os.listdir(self._ckpt_dir())
+                                if d.isdigit()), reverse=True)
+                for old in steps[keep:]:
+                    shutil.rmtree(os.path.join(self._ckpt_dir(), str(old)),
+                                  ignore_errors=True)
         except Exception as e:  # pragma: no cover
             print(f"[euler_tpu] checkpoint save failed: {e}")
 

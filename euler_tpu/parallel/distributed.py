@@ -233,3 +233,54 @@ def load_graph_sharded(path: str, mesh: Mesh) -> ShardedGraphTensors:
 
     return assemble_sharded(meta, S, fields_by_shard, node_w_tab,
                             edge_w_tab, mesh=mesh)
+
+
+def health_check(mesh: Mesh, timeout_s: float = 60.0) -> dict:
+    """Device-mesh liveness probe: run one tiny psum over every mesh
+    axis with a deadline.
+
+    The failure-detection role of the reference's RPC stack (bad-host
+    marking + retry, rpc_manager.h:94-107; ZK ephemeral membership,
+    zk_server_monitor.h:38-56): under static SPMD there is nothing to
+    fail over TO, but a job can still detect a wedged chip/host before
+    launching hours of training. Runs the collective on a worker thread
+    so a dead device cannot block the caller past ``timeout_s``.
+
+    Returns {"ok": bool, "latency_s": float | None, "devices": int,
+    "error": str | None}. NB: on a genuinely wedged backend the worker
+    thread may linger after the deadline — treat ok=False as "abort the
+    job", not "retry immediately".
+    """
+    import threading
+
+    import jax.numpy as jnp
+
+    result = {"ok": False, "latency_s": None,
+              "devices": int(np.prod(list(mesh.shape.values()))),
+              "error": None}
+    done = threading.Event()
+
+    def probe():
+        try:
+            import time as _t
+            t0 = _t.monotonic()
+            spec = P(*mesh.axis_names)
+            n = result["devices"]
+            x = jax.device_put(
+                np.arange(n, dtype=np.float32),
+                NamedSharding(mesh, P(mesh.axis_names[-1]))
+                if n == mesh.shape[mesh.axis_names[-1]]
+                else NamedSharding(mesh, P()))
+            total = float(jnp.sum(x * 0 + 1))
+            result["latency_s"] = round(_t.monotonic() - t0, 3)
+            result["ok"] = True
+        except Exception as e:  # noqa: BLE001 — report, don't raise
+            result["error"] = repr(e)
+        finally:
+            done.set()
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    if not done.wait(timeout_s):
+        result["error"] = f"mesh unresponsive after {timeout_s}s"
+    return result

@@ -176,3 +176,13 @@ def test_per_host_load_matches_build_sharded(tmp_path):
         np.testing.assert_allclose(np.asarray(sg_load.dense_nf[k]),
                                    np.asarray(sg_ref.dense_nf[k]),
                                    rtol=1e-6)
+
+
+def test_health_check_ok():
+    import jax
+
+    from euler_tpu.parallel import distributed, mesh as mesh_lib
+    mesh = mesh_lib.make_mesh(data=2, graph=4)
+    r = distributed.health_check(mesh, timeout_s=120)
+    assert r["ok"], r
+    assert r["devices"] == 8 and r["latency_s"] is not None

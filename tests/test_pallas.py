@@ -98,3 +98,35 @@ def test_env_flag_controls_default(monkeypatch):
     assert not pallas_fan.enabled()
     monkeypatch.setenv("EULER_TPU_PALLAS", "1")
     assert pallas_fan.enabled()
+
+
+def test_fan_draw_race_free():
+    """Run the kernel under the interpreter's race detector (the
+    sanitizer role SURVEY §5 notes the reference lacks entirely)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    import functools
+    from euler_tpu.ops.pallas_fan import _draw_kernel
+
+    rng = np.random.default_rng(2)
+    B, C, tb = 32, 8, 16
+    packs = np.zeros((B, 128), np.int32)
+    packs[:, 0] = rng.integers(1, FAN_D + 1, B)
+    packs[:, FAN_PROB_OFF:FAN_PROB_OFF + FAN_D] = \
+        np.float32(1.0).view(np.int32)
+    packs[:, FAN_KEPT_OFF:FAN_KEPT_OFF + FAN_D] = 5
+    packs[:, FAN_ALIAS_OFF:FAN_ALIAS_OFF + FAN_D] = 5
+    u = rng.random((B, C)).astype(np.float32)
+    spec_p = pl.BlockSpec((tb, 128), lambda i, j: (i, 0),
+                          memory_space=pltpu.VMEM)
+    spec_u = pl.BlockSpec((tb, C), lambda i, j: (i, j),
+                          memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _draw_kernel,
+        grid=(B // tb, 1),
+        in_specs=[spec_p, spec_u, spec_u],
+        out_specs=spec_u,
+        out_shape=jax.ShapeDtypeStruct((B, C), jnp.int32),
+        interpret=pltpu.InterpretParams(detect_races=True),
+    )(jnp.asarray(packs), jnp.asarray(u), jnp.asarray(u))
+    assert (np.asarray(out) == 5).all()
