@@ -584,10 +584,30 @@ class _TripleDataset(NamedDataset):
         self._test_mask = None
         return {"nodes": nodes, "edges": edges}
 
+    def _triples_file(self):
+        return os.path.join(self.data_dir, "test_triples.npy")
+
+    def load_graph(self) -> Graph:
+        g = super().load_graph()
+        # persist the test split next to the converted shards so a FRESH
+        # dataset object loading an already-converted dir still has it
+        # (raw_to_json/synthetic_json only run on first conversion)
+        if getattr(self, "_test_triples", None) is not None and \
+                not os.path.exists(self._triples_file()):
+            np.save(self._triples_file(), self._test_triples)
+        if getattr(self, "_test_triples", None) is None and \
+                os.path.exists(self._triples_file()):
+            self._test_triples = np.load(self._triples_file())
+        return g
+
     @property
     def test_triples(self) -> np.ndarray:
-        if not hasattr(self, "_test_triples"):
+        if getattr(self, "_test_triples", None) is None:
             self.load_graph()
+        if getattr(self, "_test_triples", None) is None:
+            raise ValueError(
+                f"{self.name}: no test_triples.npy beside the converted "
+                "shards; delete the euler dir to re-convert")
         return self._test_triples
 
 

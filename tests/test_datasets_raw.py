@@ -222,3 +222,16 @@ def test_parity_harness_on_cora_fixture(tmp_path):
     finally:
         if sys_path_added:
             sys.path.pop(0)
+
+
+def test_triple_dataset_test_triples_survive_reload(tmp_path):
+    """A fresh dataset object over an already-converted dir must still
+    expose test_triples (found via the parity sweep: the transh/r/d rows
+    errored because the split only existed on first conversion)."""
+    from euler_tpu.datasets.registry import FB15K
+    d1 = FB15K(str(tmp_path))
+    t1 = d1.test_triples
+    assert t1.shape[1] == 3
+    d2 = FB15K(str(tmp_path))     # fresh object, converted dir exists
+    t2 = d2.test_triples
+    np.testing.assert_array_equal(t1, t2)
