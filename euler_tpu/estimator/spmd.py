@@ -95,20 +95,28 @@ class SpmdEstimator(BaseEstimator):
                 "supported")
         return params
 
+    @property
+    def pspecs(self):
+        """PartitionSpec prefix tree of the params: P('graph', ...) for
+        sharded embedding tables (layers.ShardedEmbedding), P() for
+        replicated leaves."""
+        return train_lib.param_specs(self.params)
+
     def train(self, total_steps: Optional[int] = None,
               log_fn=print) -> Dict[str, float]:
         cfg = self.config
         total = total_steps or cfg.total_steps
         spl = max(1, int(cfg.steps_per_loop))
+        params = self.params
+        ps = self.pspecs
         step = train_lib.make_sharded_train_step(
             self.model, self.sg, self.tx, self.mesh,
             self.batch_per_device, ids_fn=self._ids_fn(),
-            expand_fn=self._expand_fn())
+            expand_fn=self._expand_fn(), pspecs=ps)
         loop = step if spl == 1 else train_lib.make_sharded_train_step(
             self.model, self.sg, self.tx, self.mesh,
             self.batch_per_device, ids_fn=self._ids_fn(),
-            expand_fn=self._expand_fn(), steps_per_loop=spl)
-        params = self.params
+            expand_fn=self._expand_fn(), steps_per_loop=spl, pspecs=ps)
         opt_state = self.tx.init(params)
         key = jax.random.PRNGKey(cfg.seed + 1)
         t0 = time.time()
@@ -148,7 +156,8 @@ class SpmdEstimator(BaseEstimator):
         (outs list, n valid, per-batch valid counts)."""
         cfg = self.config
         fn = train_lib.make_sharded_apply(self.model, self.sg, self.mesh,
-                                          expand_fn=self._expand_fn())
+                                          expand_fn=self._expand_fn(),
+                                          pspecs=self.pspecs)
         ids = np.asarray(ids, np.int32)
         B = cfg.batch_size
         n = len(ids)

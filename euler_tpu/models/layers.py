@@ -5,9 +5,9 @@ TPU-native counterparts of the reference's layer kit
 SparseEmbedding (embedding_lookup_sparse, sum/mean combiner),
 HashEmbedding (mod-hash into buckets), AttLayer (multi-head additive
 attention over a sequence), LSTMLayer). The reference's PS partitioning
-of big tables (``tf.get_variable(partitioner=...)``) is replaced by a
-``jax.sharding`` PartitionSpec on the table when run under a mesh —
-nothing at this level changes.
+of big tables (``tf.get_variable(partitioner=...)``) maps to
+``ShardedEmbedding`` below: the table lives as per-shard blocks under a
+PartitionSpec('graph') with owner-routed collective lookups.
 """
 from __future__ import annotations
 
@@ -16,6 +16,8 @@ from typing import Callable, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from flax import struct
+from flax.core import meta
 
 Array = jnp.ndarray
 
@@ -33,6 +35,93 @@ class Embedding(nn.Module):
         ok = ids >= 0
         out = table(jnp.where(ok, ids, self.max_id + 1))
         return jnp.where(ok[..., None], out, 0.0)
+
+
+@struct.dataclass
+class ManualPartitioned(meta.Partitioned):
+    """nn.Partitioned whose unbox skips the sharding constraint.
+
+    Inside shard_map the mesh axes are Manual, where flax's
+    ``Partitioned.unbox`` (which emits with_sharding_constraint) is
+    rejected by XLA — but the value IS already the local block, so no
+    constraint is needed. Keeps the metadata (names) that
+    nn.get_partition_spec / parallel.train.param_specs read."""
+
+    def unbox(self, apply_constraint=True):
+        return super().unbox(apply_constraint=False)
+
+
+def with_manual_partitioning(fn, names):
+    """nn.with_partitioning for params created INSIDE shard_map."""
+    def wrapper(*args, **kw):
+        return ManualPartitioned(fn(*args, **kw), names=names, mesh=None)
+    return wrapper
+
+
+class ShardedEmbedding(nn.Module):
+    """Embedding table partitioned over the mesh's graph axis.
+
+    TPU-native counterpart of the reference's parameter-server-sharded
+    embeddings (reference: tf_euler/python/utils/layers.py Embedding —
+    ``tf.get_variable`` with a partitioner, rows scattered over PS
+    tasks) — the piece that makes DeepWalk/LINE/TransX feasible at
+    ogbn-papers100M scale, where one replica cannot hold [1e8, d].
+
+    Called with a ShardView (inside shard_map) the param is the LOCAL
+    block [ceil(num/S), d] boxed with ``nn.with_partitioning(('graph',
+    None))``; row r lives on shard ``r % S`` at local row ``r // S``
+    (the graph-node ownership convention) and lookups are the same
+    owner-routed all_gather -> local gather -> all_to_all exchange the
+    feature verbs use — fully differentiable, so the backward pass
+    scatter-adds each shard's gradient rows locally. Called with plain
+    GraphTensors it holds the full table (single-chip path).
+
+    NB: single-chip and mesh checkpoints have different table layouts.
+    """
+
+    num: int
+    dim: int
+
+    @nn.compact
+    def __call__(self, g, ids: Array) -> Array:
+        from euler_tpu.ops.dispatch import is_shard_view
+        ids = jnp.asarray(ids, jnp.int32)
+        shape_in = ids.shape
+        base_init = nn.initializers.variance_scaling(
+            1.0, "fan_in", "normal", out_axis=0)   # nn.Embed's default
+        if not is_shard_view(g):
+            table = self.param("embedding", base_init,
+                               (self.num, self.dim))
+            ok = ids >= 0
+            flat = jnp.maximum(ids, 0).reshape(-1)
+            out = table[flat].reshape(shape_in + (self.dim,))
+            return jnp.where(ok[..., None], out, 0.0)
+
+        S, axis = g.num_shards, g.axis
+        n_local = -(-self.num // S)
+
+        def shard_init(key, shape, dtype=jnp.float32):
+            # distinct rows per shard (one shared key would replicate
+            # the local block across shards)
+            return base_init(
+                jax.random.fold_in(key, jax.lax.axis_index(axis)),
+                shape, dtype)
+
+        table = self.param(
+            "embedding",
+            with_manual_partitioning(shard_init, ("graph", None)),
+            (n_local, self.dim))
+        flat = ids.reshape(-1)
+        b = flat.shape[0]
+        alln = jax.lax.all_gather(flat, axis, axis=0).reshape(-1)
+        owned = (alln >= 0) & (alln % S == jax.lax.axis_index(axis))
+        rows = jnp.clip(jnp.where(owned, alln, 0) // S, 0, n_local - 1)
+        v = jnp.where(owned[:, None], table[rows], 0.0)
+        ex = jax.lax.all_to_all(v, axis, split_axis=0, concat_axis=0,
+                                tiled=True)
+        out = ex.reshape(S, b, self.dim).sum(axis=0)
+        out = jnp.where((flat >= 0)[:, None], out, 0.0)
+        return out.reshape(shape_in + (self.dim,))
 
 
 class SparseEmbedding(nn.Module):

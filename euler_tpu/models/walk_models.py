@@ -35,11 +35,26 @@ class DeepWalk(nn.Module):
     node_type: int = -1
     walk_p: float = 1.0
     walk_q: float = 1.0
+    shard_embeddings: bool = False   # partition the [n_nodes, dim]
+    # tables over the mesh's graph axis (layers.ShardedEmbedding — the
+    # reference's PS-partitioned Embedding); required at papers100M
+    # scale where one replica cannot hold the table
 
     @nn.compact
     def __call__(self, g: GraphTensors, roots: Array):
-        target = nn.Embed(self.n_nodes + 1, self.dim, name="target_emb")
-        context = nn.Embed(self.n_nodes + 1, self.dim, name="context_emb")
+        if self.shard_embeddings:
+            from euler_tpu.models.layers import ShardedEmbedding
+            t_mod = ShardedEmbedding(self.n_nodes + 1, self.dim,
+                                     name="target_emb")
+            c_mod = ShardedEmbedding(self.n_nodes + 1, self.dim,
+                                     name="context_emb")
+            target = lambda ids: t_mod(g, ids)
+            context = lambda ids: c_mod(g, ids)
+        else:
+            target = nn.Embed(self.n_nodes + 1, self.dim,
+                              name="target_emb")
+            context = nn.Embed(self.n_nodes + 1, self.dim,
+                               name="context_emb")
         kw, kn = jax.random.split(self.make_rng("sample"))
         paths = walk.random_walk(g, kw, roots, self.edge_types,
                                  self.walk_len, self.walk_p, self.walk_q)

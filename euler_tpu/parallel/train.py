@@ -58,6 +58,38 @@ def graph_ids_fn():
     return ids_fn
 
 
+def param_specs(params_or_abs):
+    """PartitionSpec prefix tree for a params pytree: boxed leaves
+    (``nn.with_partitioning`` — e.g. layers.ShardedEmbedding's table)
+    keep their axes, everything else is replicated P()."""
+    import flax.linen as nn
+
+    specs = nn.get_partition_spec(params_or_abs)
+    return jax.tree_util.tree_map(
+        lambda s: s if isinstance(s, P) else P(), specs,
+        is_leaf=lambda x: isinstance(x, P))
+
+
+def _sync_grads(grads):
+    """Cross-device gradient combine, partition-aware: replicated leaves
+    pmean over the whole mesh; sharded leaves (nn.Partitioned boxes)
+    pmean only over the axes they are NOT split on — each shard owns its
+    rows' gradient (the PS of the reference's partitioned embeddings)."""
+    import flax.linen as nn
+
+    def sync(gr):
+        if isinstance(gr, nn.Partitioned):
+            used = {a for a in jax.tree_util.tree_leaves(gr.names)
+                    if isinstance(a, str)}
+            axes = tuple(a for a in ("data", "graph") if a not in used)
+            val = jax.lax.pmean(gr.unbox(), axes) if axes else gr.unbox()
+            return gr.replace_boxed(val)
+        return jax.lax.pmean(gr, ("data", "graph"))
+
+    return jax.tree_util.tree_map(
+        sync, grads, is_leaf=lambda x: isinstance(x, nn.Partitioned))
+
+
 def _local_batch(view, key, ids_fn, expand_fn, batch_per_device, S):
     """One device's model input + sample key inside shard_map."""
     di = jax.lax.axis_index("data")
@@ -77,7 +109,8 @@ def make_sharded_train_step(model, sg: ShardedGraphTensors,
                             batch_per_device: int, node_type=-1,
                             ids_fn: Optional[Callable] = None,
                             expand_fn: Optional[Callable] = None,
-                            steps_per_loop: int = 1):
+                            steps_per_loop: int = 1,
+                            pspecs=None):
     """Returns jitted ``step(params, opt_state, sg, key) ->
     (params, opt_state, loss)``.
 
@@ -92,6 +125,7 @@ def make_sharded_train_step(model, sg: ShardedGraphTensors,
     gspecs = shard_specs(sg)
     if ids_fn is None:
         ids_fn = node_ids_fn(node_type)
+    ps = P() if pspecs is None else pspecs
 
     def local_loss(params, sg_block, key):
         view = to_view(sg_block, "graph")
@@ -107,13 +141,12 @@ def make_sharded_train_step(model, sg: ShardedGraphTensors,
 
         def grad_body(p, blk, k):
             loss, grads = jax.value_and_grad(lossfn)(p, blk, k)
-            grads = jax.lax.pmean(grads, ("data", "graph"))
-            return loss, grads
+            return loss, _sync_grads(grads)
 
         loss, grads = jax.shard_map(
             grad_body, mesh=mesh,
-            in_specs=(P(), gspecs, P()),
-            out_specs=(P(), P()),
+            in_specs=(ps, gspecs, P()),
+            out_specs=(P(), ps),
             check_vma=False,
         )(params, sg_in, key)
         updates, opt_state = tx.update(grads, opt_state, params)
@@ -141,7 +174,13 @@ def init_sharded_params(model, sg: ShardedGraphTensors, mesh: Mesh,
                         batch_per_device: int, seed: int = 0,
                         node_type=-1, ids_fn: Optional[Callable] = None,
                         expand_fn: Optional[Callable] = None):
-    """Initialize params by running the model once inside shard_map."""
+    """Initialize params by running the model once inside shard_map.
+
+    Two-phase: an abstract pass discovers the param tree (including any
+    ``nn.with_partitioning`` boxes of sharded tables) so the real init
+    can declare per-leaf out_specs — sharded leaves reassemble along
+    'graph', everything else replicates.
+    """
     S = sg.num_shards
     gspecs = shard_specs(sg)
     if ids_fn is None:
@@ -155,20 +194,27 @@ def init_sharded_params(model, sg: ShardedGraphTensors, mesh: Mesh,
                             batch)
         return params
 
+    def init_sm(out_specs):
+        return jax.shard_map(init_body, mesh=mesh,
+                             in_specs=(gspecs, P()),
+                             out_specs=out_specs, check_vma=False)
+
+    key = jax.random.PRNGKey(seed)
     with mesh:
-        params = jax.jit(jax.shard_map(
-            init_body, mesh=mesh, in_specs=(gspecs, P()),
-            out_specs=P(), check_vma=False,
-        ))(sg, jax.random.PRNGKey(seed))
+        abs_out = jax.eval_shape(init_sm(P()), sg, key)
+        pspecs = param_specs(abs_out)
+        params = jax.jit(init_sm(pspecs))(sg, key)
     return params
 
 
 def make_sharded_apply(model, sg: ShardedGraphTensors, mesh: Mesh,
-                       expand_fn: Optional[Callable] = None):
+                       expand_fn: Optional[Callable] = None,
+                       pspecs=None):
     """Jitted replicated-batch apply for sharded evaluate/infer:
     ``fn(sg, params, batch, key) -> out dict`` (batch replicated; every
     device computes the full answer through the collective verbs)."""
     gspecs = shard_specs(sg)
+    ps = P() if pspecs is None else pspecs
 
     def body(sg_block, params, batch, key):
         view = to_view(sg_block, "graph")
@@ -177,7 +223,7 @@ def make_sharded_apply(model, sg: ShardedGraphTensors, mesh: Mesh,
         return model.apply(params, view, batch, rngs={"sample": key})
 
     return jax.jit(jax.shard_map(
-        body, mesh=mesh, in_specs=(gspecs, P(), P(), P()),
+        body, mesh=mesh, in_specs=(gspecs, ps, P(), P()),
         out_specs=P(), check_vma=False))
 
 
