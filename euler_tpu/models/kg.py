@@ -43,11 +43,26 @@ class TransX(nn.Module):
     l1: bool = True
     corrupt: str = "both"   # 'front' | 'tail' | 'both'
     node_type: int = -1     # negative-sample node type
+    shard_embeddings: bool = False   # partition the entity table over
+    # the mesh's graph axis (layers.ShardedEmbedding — the reference's
+    # PS-partitioned Embedding); relations stay replicated (small)
 
     def setup(self):
-        self.entity_encoder = nn.Embed(self.n_entities + 1, self.ent_dim)
+        if self.shard_embeddings:
+            from euler_tpu.models.layers import ShardedEmbedding
+            self.entity_encoder = ShardedEmbedding(self.n_entities + 1,
+                                                   self.ent_dim)
+        else:
+            self.entity_encoder = nn.Embed(self.n_entities + 1,
+                                           self.ent_dim)
         self.relation_encoder = nn.Embed(self.n_relations + 1, self.rel_dim)
         self._setup_extra()
+
+    def _ent(self, g, ids):
+        """Entity lookup; the sharded table needs the mesh view."""
+        if self.shard_embeddings:
+            return self.entity_encoder(g, ids)
+        return self.entity_encoder(ids)
 
     def _setup_extra(self):
         pass
@@ -72,13 +87,11 @@ class TransX(nn.Module):
                                    self.node_type).reshape(B, self.num_negs)
 
         rel_e = _l2norm(self.relation_encoder(jnp.maximum(rel, 0)))
-        src_e = self.project(self.entity_encoder(jnp.maximum(src, 0)),
-                             src, rel)
-        dst_e = self.project(self.entity_encoder(jnp.maximum(dst, 0)),
-                             dst, rel)
+        src_e = self.project(self._ent(g, jnp.maximum(src, 0)), src, rel)
+        dst_e = self.project(self._ent(g, jnp.maximum(dst, 0)), dst, rel)
         rel_b = jnp.broadcast_to(rel[:, None], (B, self.num_negs))
-        neg_e = self.project(self.entity_encoder(jnp.maximum(neg, 0)),
-                             neg, rel_b)
+        neg_e = self.project(self._ent(g, jnp.maximum(neg, 0)), neg,
+                             rel_b)
 
         pos_scores = self.score(src_e, rel_e, dst_e)[:, None]      # [B,1]
         rel_x = rel_e[:, None, :]
@@ -109,15 +122,15 @@ class TransX(nn.Module):
         ents = jnp.arange(self.n_entities, dtype=jnp.int32)
         rel_e = _l2norm(self.relation_encoder(jnp.maximum(rel, 0)))
         # candidates projected under each row's relation: [B, E, d]
-        cand = self.project(self.entity_encoder(ents)[None],
+        cand = self.project(self._ent(g, ents)[None],
                             ents[None], rel[:, None])
         cand = jnp.broadcast_to(cand, (B,) + cand.shape[1:])
         if direction == "tail":
-            h = self.project(self.entity_encoder(jnp.maximum(src, 0)),
+            h = self.project(self._ent(g, jnp.maximum(src, 0)),
                              src, rel)
             return self.score(h[:, None, :], rel_e[:, None, :], cand)
         if direction == "head":
-            t = self.project(self.entity_encoder(jnp.maximum(dst, 0)),
+            t = self.project(self._ent(g, jnp.maximum(dst, 0)),
                              dst, rel)
             return self.score(cand, rel_e[:, None, :], t[:, None, :])
         raise ValueError(direction)
@@ -287,6 +300,11 @@ class DistMult(TransX):
     def __call__(self, g: GraphTensors, batch: Array):
         out = super().__call__(g, batch)
         if self.l2_regular:
+            if self.shard_embeddings:
+                raise NotImplementedError(
+                    "DistMult l2_regular reads the full entity table; "
+                    "disable it (or regularize per-batch) with "
+                    "shard_embeddings=True")
             reg = (jnp.sum(self.entity_encoder.embedding ** 2) +
                    jnp.sum(self.relation_encoder.embedding ** 2))
             out["loss"] = out["loss"] + self.regular_param * reg

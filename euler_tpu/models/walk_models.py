@@ -93,13 +93,28 @@ class LINE(nn.Module):
     order: int = 2
     num_negs: int = 5
     node_type: int = -1
+    shard_embeddings: bool = False   # see DeepWalk.shard_embeddings
 
     @nn.compact
     def __call__(self, g: GraphTensors, roots: Array):
-        target = nn.Embed(self.n_nodes + 1, self.dim, name="target_emb")
-        if self.order == 1:
+        if self.shard_embeddings:
+            from euler_tpu.models.layers import ShardedEmbedding
+            t_mod = ShardedEmbedding(self.n_nodes + 1, self.dim,
+                                     name="target_emb")
+            target = lambda ids: t_mod(g, ids)
+            if self.order == 1:
+                context = target
+            else:
+                c_mod = ShardedEmbedding(self.n_nodes + 1, self.dim,
+                                         name="context_emb")
+                context = lambda ids: c_mod(g, ids)
+        elif self.order == 1:
+            target = nn.Embed(self.n_nodes + 1, self.dim,
+                              name="target_emb")
             context = target
         else:
+            target = nn.Embed(self.n_nodes + 1, self.dim,
+                              name="target_emb")
             context = nn.Embed(self.n_nodes + 1, self.dim,
                                name="context_emb")
         ks, kn = jax.random.split(self.make_rng("sample"))

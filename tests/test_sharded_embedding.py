@@ -116,3 +116,44 @@ def test_sharded_embedding_single_chip_path(sbm):
     assert tab.shape == (20, 8)
     np.testing.assert_allclose(out[1], tab[5], rtol=1e-6)
     np.testing.assert_array_equal(out[2], 0.0)
+
+
+def test_transe_sharded_embeddings_train(sbm, tmp_path):
+    """TransE with the entity table partitioned over the mesh trains
+    through SpmdEdgeEstimator (the papers100M-scale KG configuration)."""
+    from euler_tpu.estimator.spmd import SpmdEdgeEstimator
+    from euler_tpu.models import kg
+    ds, graph = sbm
+    model = kg.TransE(n_entities=graph.meta.n_nodes,
+                      n_relations=graph.meta.num_edge_types,
+                      ent_dim=16, rel_dim=16, num_negs=4,
+                      shard_embeddings=True)
+    cfg = RunConfig(model_dir=str(tmp_path / "te_se"), batch_size=64,
+                    total_steps=10, log_steps=0, learning_rate=0.05,
+                    metric="mrr", steps_per_loop=5)
+    est = SpmdEdgeEstimator(model, graph, cfg)
+    leaf = est.pspecs["params"]["entity_encoder"]["embedding"]
+    assert leaf == P("graph", None), leaf
+    res = est.train()
+    assert np.isfinite(res["loss"])
+    # eval through the mesh apply path too
+    from euler_tpu.ops import sampling as _s
+    src, dst, ty, _ = _s.sample_edge(graph.tensors,
+                                     jax.random.PRNGKey(2), 64, -1)
+    triples = np.stack([np.asarray(x) for x in (src, dst, ty)], axis=1)
+    ev = est.evaluate(triples)
+    assert np.isfinite(ev["mrr"])
+
+
+def test_line_sharded_embeddings_train(sbm, tmp_path):
+    ds, graph = sbm
+    et = graph.meta.edge_types.index("link")
+    model = walk_models.LINE(n_nodes=graph.meta.n_nodes, dim=8,
+                             edge_types=(et,), order=2, num_negs=4,
+                             shard_embeddings=True)
+    cfg = RunConfig(model_dir=str(tmp_path / "line_se"), batch_size=64,
+                    total_steps=10, log_steps=0, learning_rate=0.1,
+                    metric="mrr")
+    est = SpmdNodeEstimator(model, graph, cfg)
+    res = est.train()
+    assert np.isfinite(res["loss"])
