@@ -214,12 +214,19 @@ class Graph:
 
     def __init__(self, meta: GraphMeta, arrays: Dict[str, np.ndarray],
                  device_put: bool = True,
-                 packs: Tuple[str, ...] = ALL_PACKS):
+                 packs: Tuple[str, ...] = ALL_PACKS,
+                 feature_dtype=None):
         """``packs`` selects which interleaved hot-path layouts to build:
         'group' (group_pack), 'adj' (adj_pack), 'sample' (sample_pack),
         'fan' (fan_pack). Every verb falls back gracefully when a pack is
         absent; skipping unused packs cuts load time and device-transfer
-        bytes (sample_pack alone is 36 B/edge)."""
+        bytes (sample_pack alone is 36 B/edge).
+
+        ``feature_dtype`` (e.g. jnp.bfloat16) stores DENSE feature
+        matrices in that dtype: feature-row gathers are effective-
+        bandwidth bound on TPU (tools/micro/micro_featpack.py), so bf16
+        halves the dominant HBM traffic of sampled training; models
+        upcast where they need f32."""
         self.meta = meta
         n, net = meta.n_nodes, meta.num_edge_types
 
@@ -372,9 +379,13 @@ class Graph:
             group_w_sum=put(group_w_sum),
             node_alias=put_alias(node_alias_np),
             edge_alias=put_alias(edge_alias_np),
-            dense_nf={k: put(v) for k, v in dense_nf.items()},
+            dense_nf={k: put(v if feature_dtype is None
+                             else np.asarray(v, feature_dtype))
+                      for k, v in dense_nf.items()},
             sparse_nf={k: (put(v[0]), put(v[1])) for k, v in sparse_nf.items()},
-            dense_ef={k: put(v) for k, v in dense_ef.items()},
+            dense_ef={k: put(v if feature_dtype is None
+                             else np.asarray(v, feature_dtype))
+                      for k, v in dense_ef.items()},
             sparse_ef={k: (put(v[0]), put(v[1])) for k, v in sparse_ef.items()},
             binary_hash_nf={k: put(v) for k, v in binary_hash.items()},
             **{k: put(v) for k, v in graph_fields.items()},
@@ -404,12 +415,18 @@ class Graph:
         return self.meta.n_nodes - 1
 
 
-def load_graph(path: str, device_put: bool = True) -> Graph:
-    """Load a converted shard directory (see convert.convert_json_graph)."""
+def load_graph(path: str, device_put: bool = True,
+               feature_dtype=None) -> Graph:
+    """Load a converted shard directory (see convert.convert_json_graph).
+
+    ``feature_dtype=jnp.bfloat16`` stores dense features half-width in
+    HBM — the biggest lever on sampled-training feature traffic (see
+    Graph.__init__)."""
     from euler_tpu.utils import io as _io
     with _io.open_file(_io.join(path, _convert.META_FILE), "r") as f:
         meta = GraphMeta.from_json(f.read())
-    return Graph(meta, _load_parts(path), device_put=device_put)
+    return Graph(meta, _load_parts(path), device_put=device_put,
+                 feature_dtype=feature_dtype)
 
 
 # ---- module-level default graph (tf_euler-style convenience) --------------

@@ -134,3 +134,23 @@ def test_partition_roundtrip_matches_single(tmp_path):
                                np.asarray(g2.tensors.dense_nf["dense2"]))
     np.testing.assert_array_equal(np.asarray(g1.tensors.adj_eid),
                                   np.asarray(g2.tensors.adj_eid))
+
+
+def test_feature_dtype_bf16(toy_dir):
+    """feature_dtype stores dense features half-width in HBM; lookups
+    return the cast values."""
+    import jax.numpy as jnp
+
+    from euler_tpu.graph import load_graph
+    from euler_tpu.ops import feature_ops
+    g32 = load_graph(toy_dir)
+    g16 = load_graph(toy_dir, feature_dtype=jnp.bfloat16)
+    for k, v in g16.tensors.dense_nf.items():
+        assert v.dtype == jnp.bfloat16
+    (a,) = feature_ops.get_dense_feature(g32.tensors, jnp.arange(4),
+                                         ["dense2"])
+    (b,) = feature_ops.get_dense_feature(g16.tensors, jnp.arange(4),
+                                         ["dense2"])
+    np.testing.assert_allclose(np.asarray(a),
+                               np.asarray(b, np.float32),
+                               rtol=1e-2, atol=1e-2)
