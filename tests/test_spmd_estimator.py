@@ -215,3 +215,25 @@ def test_spmd_edge_evaluate_ranking(sbm, tmp_path):
     r = est.evaluate_ranking(triples)
     assert np.isfinite(r["mr"]) and 1 <= r["mr"] <= graph.meta.n_nodes
     assert 0 < r["mrr"] <= 1
+
+
+def test_run_rgcn_mesh(tmp_path):
+    """Relation conv under the mesh: per-edge type/eid payloads route
+    through the sharded verbs (get_edge_type_sharded etc.)."""
+    out = _run_example("rgcn/run_rgcn.py", [
+        "--mesh", "2x4", "--dataset", "sbm", "--batch_size", "32",
+        "--total_steps", "4", "--log_steps", "0", "--hidden_dim", "8",
+        "--layers", "1", "--fanouts", "3",
+        "--model_dir", str(tmp_path / "rgcn_mesh")])
+    assert np.isfinite(out["loss"])
+
+
+def test_run_graphsage_unsupervised_mesh(tmp_path):
+    """UnsuperviseModel under the mesh: positive-pair sampling +
+    same-type negatives (sample_node_with_src_sharded) in the loss."""
+    out = _run_example("graphsage/run_graphsage.py", [
+        "--unsupervised", "--mesh", "auto", "--dataset", "sbm",
+        "--batch_size", "32", "--total_steps", "4", "--log_steps", "0",
+        "--hidden_dim", "8", "--layers", "1", "--fanouts", "3",
+        "--model_dir", str(tmp_path / "gsu_mesh")])
+    assert np.isfinite(out["loss"])
