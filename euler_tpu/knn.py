@@ -64,6 +64,82 @@ def _search(emb, sq, q, k, is_l2):
     return score, idx
 
 
+@partial(jax.jit, static_argnums=(2,))
+def _kmeans(emb, cent, iters):
+    """Lloyd iterations on device (assign by L2, mean update; empty
+    clusters keep their centroid)."""
+    esq = jnp.sum(emb * emb, axis=1)
+
+    def step(cent, _):
+        d = esq[:, None] - 2.0 * (emb @ cent.T) + \
+            jnp.sum(cent * cent, axis=1)[None, :]
+        a = jnp.argmin(d, axis=1)
+        C = cent.shape[0]
+        sums = jax.ops.segment_sum(emb, a, num_segments=C)
+        cnt = jax.ops.segment_sum(jnp.ones_like(esq), a, num_segments=C)
+        new = jnp.where(cnt[:, None] > 0, sums / jnp.maximum(
+            cnt[:, None], 1.0), cent)
+        return new, None
+
+    cent, _ = jax.lax.scan(step, cent, None, length=iters)
+    return cent
+
+
+@partial(jax.jit, static_argnums=(4, 5))
+def _ivf_search(emb, cent, members, q, k, nprobe):
+    """Top-nprobe clusters per query, exact L2 over their members."""
+    C, maxM = members.shape
+    cd = -(jnp.sum(cent * cent, axis=1)[None, :] - 2.0 * (q @ cent.T))
+    _, probe = jax.lax.top_k(cd, nprobe)              # [Q, nprobe]
+    cand = members[probe].reshape(q.shape[0], nprobe * maxM)
+    ok = cand >= 0
+    rows = emb[jnp.maximum(cand, 0)]                  # [Q, cand, D]
+    d = jnp.sum(rows * rows, axis=-1) - 2.0 * jnp.einsum(
+        "qd,qcd->qc", q, rows)
+    score = jnp.where(ok, -d, -jnp.inf)
+    neg_d, pos = jax.lax.top_k(score, k)
+    idx = jnp.take_along_axis(cand, pos, axis=1)
+    qsq = jnp.sum(q * q, axis=1, keepdims=True)
+    return qsq - neg_d, jnp.where(jnp.isfinite(neg_d), idx, -1)
+
+
+class IvfKnnIndex(KnnIndex):
+    """IVFFlat: coarse k-means quantizer + exact search over the probed
+    clusters' members (reference: knn/knn.py faiss IndexIVFFlat with
+    nlist/nprobe; L2 only, matching the reference's index). Recall
+    approaches exact as nprobe -> n_clusters."""
+
+    def __init__(self, embeddings, ids=None, n_clusters: int = 64,
+                 nprobe: int = 8, iters: int = 10, seed: int = 0):
+        super().__init__(embeddings, ids, metric="l2")
+        emb = np.asarray(self._emb)
+        n = len(emb)
+        C = max(1, min(n_clusters, n))
+        rng = np.random.default_rng(seed)
+        cent0 = emb[rng.choice(n, C, replace=False)]
+        self._cent = _kmeans(self._emb, jnp.asarray(cent0), iters)
+        d = (np.sum(emb * emb, axis=1)[:, None]
+             - 2.0 * emb @ np.asarray(self._cent).T
+             + np.sum(np.asarray(self._cent) ** 2, axis=1)[None, :])
+        assign = np.argmin(d, axis=1)
+        groups = [np.nonzero(assign == c)[0] for c in range(C)]
+        maxM = max(1, max((len(g) for g in groups), default=1))
+        tab = np.full((C, maxM), -1, np.int32)
+        for c, g in enumerate(groups):
+            tab[c, :len(g)] = g
+        self._members = jnp.asarray(tab)
+        self.nprobe = min(nprobe, C)
+
+    def search(self, queries, k: int = 10, nprobe: Optional[int] = None):
+        q = jnp.asarray(np.asarray(queries, np.float32))
+        np_ = min(nprobe or self.nprobe, self._members.shape[0])
+        d, i = _ivf_search(self._emb, self._cent, self._members, q, k,
+                           np_)
+        i = np.asarray(i)
+        return np.asarray(d), np.where(i >= 0, self.ids[np.maximum(i, 0)],
+                                       -1)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--embedding_file", required=True)
@@ -71,12 +147,21 @@ def main(argv=None):
     p.add_argument("--query_file", default=None)
     p.add_argument("--k", type=int, default=10)
     p.add_argument("--metric", default="l2", choices=["l2", "ip", "cosine"])
+    p.add_argument("--index", default="flat", choices=["flat", "ivfflat"],
+                   help="ivfflat = coarse-quantized approximate search "
+                        "(the reference CLI's index_type)")
+    p.add_argument("--nlist", type=int, default=64)
+    p.add_argument("--nprobe", type=int, default=8)
     p.add_argument("--out", default="result.npz")
     args = p.parse_args(argv)
 
     emb = np.load(args.embedding_file)
     ids = np.load(args.id_file) if args.id_file else None
-    index = KnnIndex(emb, ids, args.metric)
+    if args.index == "ivfflat":
+        index = IvfKnnIndex(emb, ids, n_clusters=args.nlist,
+                            nprobe=args.nprobe)
+    else:
+        index = KnnIndex(emb, ids, args.metric)
     if args.query_file:
         q = np.loadtxt(args.query_file, dtype=np.float32, delimiter=",")
         q = q.reshape(-1, emb.shape[1])

@@ -182,3 +182,24 @@ def test_io_layer_local_and_remote(tmp_path):
         import pytest as _pytest
         with _pytest.raises(ImportError, match="fsspec"):
             uio.open_file("gs://bucket/x.txt")
+
+
+def test_knn_ivfflat():
+    """IVF coarse quantizer: full-probe search equals exact; modest
+    nprobe keeps high recall (reference: faiss IndexIVFFlat mode)."""
+    import numpy as np
+
+    from euler_tpu.knn import IvfKnnIndex, KnnIndex
+    rng = np.random.default_rng(0)
+    emb = rng.normal(0, 1, (500, 16)).astype(np.float32)
+    q = rng.normal(0, 1, (8, 16)).astype(np.float32)
+    exact = KnnIndex(emb)
+    ivf = IvfKnnIndex(emb, n_clusters=16, nprobe=4)
+    _, ei = exact.search(q, 10)
+    _, fi = ivf.search(q, 10, nprobe=16)        # full probe == exact
+    for a, b in zip(ei, fi):
+        assert set(a.tolist()) == set(b.tolist())
+    _, pi = ivf.search(q, 10)                   # nprobe=4: recall check
+    recall = np.mean([len(set(a) & set(b)) / 10
+                      for a, b in zip(ei, pi)])
+    assert recall > 0.6, recall
