@@ -17,6 +17,7 @@
 #include <atomic>
 #include <cstdint>
 #include <cmath>
+#include <cstdlib>
 #include <cstring>
 #include <thread>
 #include <vector>
@@ -202,3 +203,141 @@ int etpu_build_group_alias(int64_t n_groups, int64_t m,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Edge-list text parsing: "src<sep>dst[<sep>weight]" lines, '#' comments.
+//
+// The streaming converter's hot loop (euler_tpu/graph/stream_convert.py
+// convert_edge_list) — a Python line loop tops out around 1M lines/s,
+// which turns an ogbn-papers100M-scale ingest into hours; this parser
+// does a two-pass parallel scan (line starts, then per-range parsing
+// into exact output offsets so edge order == file order). Plays the
+// file-ingest role of the reference's converter + loader pipeline
+// (euler/tools/generate_euler_data.py feeding graph_builder.cc).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+inline const char* skip_sep(const char* p, const char* end) {
+  while (p < end && (*p == ' ' || *p == '\t' || *p == ',')) ++p;
+  return p;
+}
+
+inline bool parse_i64(const char*& p, const char* end, int64_t* out) {
+  p = skip_sep(p, end);
+  bool neg = false;
+  if (p < end && (*p == '-' || *p == '+')) neg = (*p++ == '-');
+  if (p >= end || *p < '0' || *p > '9') return false;
+  int64_t v = 0;
+  while (p < end && *p >= '0' && *p <= '9') v = v * 10 + (*p++ - '0');
+  *out = neg ? -v : v;
+  return true;
+}
+
+inline bool parse_f32(const char*& p, const char* end, float* out) {
+  p = skip_sep(p, end);
+  char tmp[64];
+  int n = 0;
+  while (p + n < end && n < 63 && *(p + n) != '\n' && *(p + n) != ' ' &&
+         *(p + n) != '\t' && *(p + n) != ',' && *(p + n) != '\r')
+    ++n;
+  if (n == 0) return false;
+  std::memcpy(tmp, p, n);
+  tmp[n] = 0;
+  char* q = nullptr;
+  float v = std::strtof(tmp, &q);
+  if (q == tmp) return false;
+  p += n;
+  *out = v;
+  return true;
+}
+
+// parse lines in [lo, hi) of buf; returns count written at out+off
+int64_t parse_range(const char* buf, int64_t lo, int64_t hi,
+                    int32_t* src, int32_t* dst, float* w, int64_t off) {
+  const char* p = buf + lo;
+  const char* end = buf + hi;
+  int64_t k = off;
+  while (p < end) {
+    const char* line_end = static_cast<const char*>(
+        std::memchr(p, '\n', end - p));
+    if (!line_end) line_end = end;
+    const char* q = skip_sep(p, line_end);
+    if (q < line_end && *q != '#') {
+      int64_t a, b;
+      const char* r = q;
+      if (parse_i64(r, line_end, &a) && parse_i64(r, line_end, &b) &&
+          a >= 0 && b >= 0 && a < (1LL << 31) && b < (1LL << 31)) {
+        float wv = 1.0f;
+        const char* r2 = r;
+        if (!parse_f32(r2, line_end, &wv)) wv = 1.0f;
+        src[k] = static_cast<int32_t>(a);
+        dst[k] = static_cast<int32_t>(b);
+        w[k] = wv;
+        ++k;
+      }
+    }
+    p = line_end + 1;
+  }
+  return k - off;
+}
+
+}  // namespace
+
+extern "C" int64_t etpu_parse_edge_list(const char* buf, int64_t len,
+                                        int32_t* src, int32_t* dst,
+                                        float* w, int64_t cap) {
+  if (len <= 0) return 0;
+  int nt = std::min<int64_t>(hardware_threads(), 16);
+  if (len < (1 << 20)) nt = 1;
+  // chunk boundaries snapped to newlines
+  std::vector<int64_t> bounds(nt + 1, 0);
+  bounds[nt] = len;
+  for (int t = 1; t < nt; ++t) {
+    int64_t pos = len * t / nt;
+    const char* nl = static_cast<const char*>(
+        std::memchr(buf + pos, '\n', len - pos));
+    bounds[t] = nl ? (nl - buf) + 1 : len;
+  }
+  for (int t = 1; t < nt; ++t)
+    bounds[t] = std::max(bounds[t], bounds[t - 1]);
+  // pass 1: count valid lines per chunk (into scratch at tail of out?
+  // just parse twice-cheap: count only)
+  std::vector<int64_t> counts(nt, 0);
+  std::vector<std::thread> ts;
+  for (int t = 0; t < nt; ++t) {
+    ts.emplace_back([&, t] {
+      const char* p = buf + bounds[t];
+      const char* end = buf + bounds[t + 1];
+      int64_t c = 0;
+      while (p < end) {
+        const char* line_end = static_cast<const char*>(
+            std::memchr(p, '\n', end - p));
+        if (!line_end) line_end = end;
+        const char* q = skip_sep(p, line_end);
+        if (q < line_end && *q != '#') {
+          int64_t a, b;
+          const char* r = q;
+          if (parse_i64(r, line_end, &a) && parse_i64(r, line_end, &b) &&
+              a >= 0 && b >= 0 && a < (1LL << 31) && b < (1LL << 31))
+            ++c;
+        }
+        p = line_end + 1;
+      }
+      counts[t] = c;
+    });
+  }
+  for (auto& th : ts) th.join();
+  std::vector<int64_t> offs(nt + 1, 0);
+  for (int t = 0; t < nt; ++t) offs[t + 1] = offs[t] + counts[t];
+  if (offs[nt] > cap) return -1;
+  // pass 2: parse into exact offsets (order == file order)
+  ts.clear();
+  for (int t = 0; t < nt; ++t) {
+    ts.emplace_back([&, t] {
+      parse_range(buf, bounds[t], bounds[t + 1], src, dst, w, offs[t]);
+    });
+  }
+  for (auto& th : ts) th.join();
+  return offs[nt];
+}

@@ -374,17 +374,58 @@ def convert_edge_list(path: str, out_dir: str, n_partitions: int = 1,
                       chunk_size: int = 1_000_000, delimiter=None,
                       **kw) -> GraphMeta:
     """``src dst [weight]`` text lines; nodes are implicit (type 'n',
-    weight 1) — the ogbn edge-list shape."""
+    weight 1) — the ogbn edge-list shape.
+
+    The line loop parses through the native core when available
+    (csrc/euler_core.cc etpu_parse_edge_list, two-pass parallel scan:
+    a Python loop tops out ~1M lines/s, hours at papers100M scale);
+    Python fallback otherwise, same skip/comment contract."""
     w = StreamWriter(out_dir, n_partitions, **kw)
+
+    from euler_tpu.native import loader as _native
+    if _native.get_lib() is not None and delimiter in (None, "\t", " ",
+                                                       ","):
+        # binary chunks snapped to line boundaries -> native parse
+        buf_bytes = max(1 << 22, chunk_size * 16)
+        carry = b""
+        with open(path, "rb") as f:
+            while True:
+                block = f.read(buf_bytes)
+                if not block:
+                    break
+                block = carry + block
+                cut = block.rfind(b"\n")
+                if cut < 0:
+                    carry = block
+                    continue
+                carry, chunk = block[cut + 1:], block[:cut + 1]
+                res = _native.parse_edge_list_native(chunk)
+                if res is None:   # native core vanished mid-stream
+                    raise RuntimeError(
+                        "native edge-list parser unavailable mid-file")
+                s, d, wt = res
+                if len(s):
+                    w.add_edges(s, d, weights=wt)
+        if carry:
+            res = _native.parse_edge_list_native(carry + b"\n")
+            if res is not None and len(res[0]):
+                w.add_edges(res[0], res[1], weights=res[2])
+        return w.finalize()
+
     src, dst, wt = [], [], []
     with open(path) as f:
         for line in f:
             parts = line.split(delimiter)
-            if len(parts) < 2 or line.startswith("#"):
+            if len(parts) < 2 or line.lstrip().startswith("#"):
                 continue
-            src.append(int(parts[0]))
-            dst.append(int(parts[1]))
-            wt.append(float(parts[2]) if len(parts) > 2 else 1.0)
+            try:            # malformed rows are skipped, not fatal
+                s, d = int(parts[0]), int(parts[1])
+                wv = float(parts[2]) if len(parts) > 2 else 1.0
+            except ValueError:
+                continue
+            src.append(s)
+            dst.append(d)
+            wt.append(wv)
             if len(src) >= chunk_size:
                 w.add_edges(src, dst, weights=wt)
                 src, dst, wt = [], [], []

@@ -67,6 +67,13 @@ def get_lib():
                 ctypes.c_int64, ctypes.c_int64, i64, f32, f32, i32]
         except AttributeError:  # stale .so missing the symbol
             pass
+        try:
+            lib.etpu_parse_edge_list.restype = ctypes.c_int64
+            lib.etpu_parse_edge_list.argtypes = [
+                ctypes.c_char_p, ctypes.c_int64, i32, i32, f32,
+                ctypes.c_int64]
+        except AttributeError:
+            pass
         _lib = lib
         return _lib
 
@@ -127,3 +134,21 @@ def build_group_alias_native(group_ptr, weights):
     if lib.etpu_build_group_alias(len(gp) - 1, m, gp, w, prob, alias) != 0:
         return None
     return prob, alias
+
+
+def parse_edge_list_native(buf: bytes):
+    """Parse "src<sep>dst[<sep>w]" text (bytes) -> (src, dst, w) int32/
+    int32/f32 arrays in file order, or None without the native core.
+    Skips '#' comments and malformed lines — same contract as the
+    Python loop in graph.stream_convert.convert_edge_list."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "etpu_parse_edge_list"):
+        return None
+    cap = buf.count(b"\n") + 1
+    src = np.empty(cap, np.int32)
+    dst = np.empty(cap, np.int32)
+    w = np.empty(cap, np.float32)
+    n = lib.etpu_parse_edge_list(buf, len(buf), src, dst, w, cap)
+    if n < 0:
+        return None
+    return src[:n], dst[:n], w[:n]

@@ -88,3 +88,65 @@ def test_graph_load_uses_native_and_matches(toy_graph, tmp_path):
                                   np.asarray(g2.tensors.adj_dst))
     np.testing.assert_allclose(np.asarray(g1.tensors.adj_w),
                                np.asarray(g2.tensors.adj_w), rtol=1e-6)
+
+def test_native_edge_list_parser_matches_python(tmp_path):
+    """csrc etpu_parse_edge_list == the Python line loop on the same
+    file (comments, blank lines, malformed rows, weights, CRLF)."""
+    from euler_tpu.graph import stream_convert
+    from euler_tpu.native import loader as native
+    if native.get_lib() is None:
+        pytest.skip("native core unavailable")
+    rng = np.random.default_rng(0)
+    lines = ["# header comment", ""]
+    for i in range(5000):
+        s, d = rng.integers(0, 1000, 2)
+        if i % 17 == 0:
+            lines.append(f"{s}\t{d}")                 # no weight
+        elif i % 29 == 0:
+            lines.append("malformed row")
+        else:
+            lines.append(f"{s}\t{d}\t{(i % 7) + 0.5}")
+    text = "\n".join(lines) + "\n"
+    p = tmp_path / "edges.txt"
+    p.write_text(text)
+
+    res = native.parse_edge_list_native(text.encode())
+    assert res is not None
+    s_n, d_n, w_n = res
+
+    s_p, d_p, w_p = [], [], []
+    for line in text.splitlines():
+        parts = line.split()
+        if len(parts) < 2 or line.lstrip().startswith("#") or \
+                not parts[0].lstrip("-").isdigit() or \
+                not parts[1].lstrip("-").isdigit():
+            continue
+        s_p.append(int(parts[0]))
+        d_p.append(int(parts[1]))
+        w_p.append(float(parts[2]) if len(parts) > 2 else 1.0)
+    np.testing.assert_array_equal(s_n, s_p)
+    np.testing.assert_array_equal(d_n, d_p)
+    np.testing.assert_allclose(w_n, w_p, rtol=1e-6)
+
+    # end-to-end through the streaming converter: same shard set as the
+    # Python fallback path
+    out_n = tmp_path / "out_native"
+    out_p = tmp_path / "out_py"
+    for o in (out_n, out_p):
+        o.mkdir()
+    stream_convert.convert_edge_list(str(p), str(out_n), n_partitions=2)
+    real = native.get_lib
+    try:
+        native_get = native.get_lib
+        native.get_lib = lambda: None      # force python path
+        stream_convert.convert_edge_list(str(p), str(out_p),
+                                         n_partitions=2)
+    finally:
+        native.get_lib = native_get
+    from euler_tpu.graph import load_graph
+    gn = load_graph(str(out_n)).tensors
+    gp = load_graph(str(out_p)).tensors
+    np.testing.assert_array_equal(np.asarray(gn.group_ptr),
+                                  np.asarray(gp.group_ptr))
+    np.testing.assert_allclose(np.asarray(gn.adj_w),
+                               np.asarray(gp.adj_w), rtol=1e-6)
