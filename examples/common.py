@@ -209,14 +209,20 @@ def run_graph_conv_example(conv: str, pool_name: str = "mean", argv=None,
                                              [ets] * args.layers),
                      dims=tuple([args.hidden_dim] * (args.layers + 1)),
                      feature=feat)
+    # pooling segments = the PER-DEVICE graph count: under --mesh each
+    # device pools its own batch slice
+    pool_graphs = args.batch_size
+    if getattr(args, "mesh", None) is not None:
+        import jax
+        pool_graphs = args.batch_size // jax.device_count()
     if pool_name == "set2set":
         pool = pooling.Set2SetPool(dim=args.hidden_dim,
-                                   num_graphs=args.batch_size)
+                                   num_graphs=pool_graphs)
     elif pool_name == "attention":
-        pool = pooling.AttentionPool(num_graphs=args.batch_size)
+        pool = pooling.AttentionPool(num_graphs=pool_graphs)
     else:
         pool = pooling.SegmentPool(aggr=pool_name,
-                                   num_graphs=args.batch_size)
+                                   num_graphs=pool_graphs)
     model = graph_model.GraphModel(embedder=net, pool=pool,
                                    label_dim=ds.num_classes)
     return run_graph_model(args, ds, graph, model,

@@ -237,3 +237,15 @@ def test_run_graphsage_unsupervised_mesh(tmp_path):
         "--hidden_dim", "8", "--layers", "1", "--fanouts", "3",
         "--model_dir", str(tmp_path / "gsu_mesh")])
     assert np.isfinite(out["loss"])
+
+
+def test_run_gin_mesh(tmp_path):
+    """Graph classification end-to-end via the example with --mesh:
+    pooling segments sized to the per-device batch slice."""
+    out = _run_example("gin/run_gin.py", [
+        "--mesh", "auto", "--dataset", "mutag", "--batch_size", "16",
+        "--total_steps", "4", "--log_steps", "0", "--hidden_dim", "8",
+        "--layers", "1", "--fanouts", "3",
+        "--model_dir", str(tmp_path / "gin_mesh"),
+        "--data_dir", str(tmp_path / "gin_data")])
+    assert np.isfinite(out["loss"])
