@@ -209,22 +209,66 @@ def init_sharded_params(model, sg: ShardedGraphTensors, mesh: Mesh,
 
 def make_sharded_apply(model, sg: ShardedGraphTensors, mesh: Mesh,
                        expand_fn: Optional[Callable] = None,
-                       pspecs=None):
-    """Jitted replicated-batch apply for sharded evaluate/infer:
-    ``fn(sg, params, batch, key) -> out dict`` (batch replicated; every
-    device computes the full answer through the collective verbs)."""
+                       pspecs=None, split_batch: bool = True):
+    """Jitted sharded evaluate/infer apply:
+    ``fn(sg, params, batch, key) -> out dict``.
+
+    With ``split_batch`` (default) the batch's leading dim is split
+    across ALL mesh devices (row order preserved: device di*S+gi takes
+    slice idx) — each device evaluates its slice, array outputs
+    reassemble along ('data','graph') and scalar outputs (losses) come
+    back pmean'd, so eval/infer scale with the mesh like training does
+    AND per-device batch shapes match the training configuration (graph
+    models size their pooling to the per-device slice).
+    ``split_batch=False`` keeps the replicated-batch behavior."""
+    import jax.numpy as jnp
+
+    S = sg.num_shards
+    n_dev = mesh.shape["data"] * S
     gspecs = shard_specs(sg)
     ps = P() if pspecs is None else pspecs
 
     def body(sg_block, params, batch, key):
         view = to_view(sg_block, "graph")
+        if split_batch:
+            di = jax.lax.axis_index("data")
+            gi = jax.lax.axis_index("graph")
+            idx = di * S + gi
+            bpd = batch.shape[0] // n_dev
+            batch = jax.lax.dynamic_slice_in_dim(batch, idx * bpd, bpd,
+                                                 axis=0)
+            key = jax.random.fold_in(key, idx)
         if expand_fn is not None:
             batch = expand_fn(view, batch)
-        return model.apply(params, view, batch, rngs={"sample": key})
+        out = model.apply(params, view, batch, rngs={"sample": key})
+        if split_batch:
+            out = {k: jax.lax.pmean(v, ("data", "graph"))
+                   if jnp.ndim(v) == 0 else v for k, v in out.items()}
+        return out
 
-    return jax.jit(jax.shard_map(
-        body, mesh=mesh, in_specs=(gspecs, ps, P(), P()),
-        out_specs=P(), check_vma=False))
+    if not split_batch:
+        return jax.jit(jax.shard_map(
+            body, mesh=mesh, in_specs=(gspecs, ps, P(), P()),
+            out_specs=P(), check_vma=False))
+
+    cache = {}
+
+    def fn(sg_in, params, batch, key):
+        shape_key = (batch.shape, str(batch.dtype))
+        if shape_key not in cache:
+            abs_out = jax.eval_shape(jax.shard_map(
+                body, mesh=mesh, in_specs=(gspecs, ps, P(), P()),
+                out_specs=P(), check_vma=False), sg_in, params, batch,
+                key)
+            out_specs = jax.tree_util.tree_map(
+                lambda a: P() if len(a.shape) == 0
+                else P(("data", "graph")), abs_out)
+            cache[shape_key] = jax.jit(jax.shard_map(
+                body, mesh=mesh, in_specs=(gspecs, ps, P(), P()),
+                out_specs=out_specs, check_vma=False))
+        return cache[shape_key](sg_in, params, batch, key)
+
+    return fn
 
 
 def place_sharded_graph(sg: ShardedGraphTensors, mesh: Mesh):

@@ -127,6 +127,12 @@ def test_spmd_graph_estimator(tmp_path_factory, tmp_path):
                              num_classes=ds.num_classes)
     res = est.train()
     assert np.isfinite(res["loss"])
+    # eval/infer split the batch across devices (per-device pooling
+    # shapes match training)
+    ev = est.evaluate(np.arange(16))
+    assert np.isfinite(ev["accuracy"]) and np.isfinite(ev["loss"])
+    emb = est.infer(np.arange(16))
+    assert emb.shape[0] == 16 and np.isfinite(emb).all()
 
 
 def test_sharded_reservoir_refresh_changes_rows(tmp_path):
