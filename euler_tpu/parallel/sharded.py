@@ -603,11 +603,58 @@ def _group_bounds_local(view: ShardView, rows, etype):
 
 def sample_neighbor_sharded(view: ShardView, key, nodes, ets, count,
                             default_id=-1):
+    """Full-payload sharded neighbor sampling; owner-compute compaction
+    (see _owner_cap) keeps per-shard pack gathers O(b) when active."""
     nodes = jnp.asarray(nodes, jnp.int32)
     b = nodes.shape[0]
-    nodes = _spread(view, nodes)
+    spread = _spread(view, nodes)
+    S = view.num_shards
+    cap = _owner_cap(b, S)
+    if cap is not None:
+        buf_row, buf_has, sel_ok = _compact_owned(view, spread, cap)
+        cnodes = jnp.where(buf_has, spread[buf_row], -1)
+        nbr, w, ty, eid, ok = _sample_neighbor_local(
+            view, key, cnodes, ets, count, default_id)
+        ok = ok & buf_has[:, None]
+        scat = jnp.where(buf_has, buf_row, spread.shape[0])
+        N = spread.shape[0]
+
+        def back(x, fill):
+            return jnp.full((N, count), fill, x.dtype).at[scat].set(
+                jnp.where(ok, x, fill), mode="drop")
+
+        mask = jnp.zeros((N, count), bool).at[scat].set(ok, mode="drop")
+        nbr_f = back(nbr, jnp.int32(default_id))
+        w_f = back(w, jnp.float32(0))
+        ty_f = back(ty, jnp.int32(-1))
+        eid_f = back(eid, jnp.int32(-1))
+        return (_route_ids(view, mask, nbr_f, b, default_id),
+                _route_vals(view, mask, w_f, b),
+                _route_ids(view, mask, ty_f, b, -1),
+                _route_ids(view, mask, eid_f, b, -1))
+
+    owned, _ = _own_rows(view, spread)
+    nbr, w, ty, eid, ok = _sample_neighbor_local(
+        view, key, spread, ets, count, default_id)
+    ok = ok & owned[:, None]
+    nbr = jnp.where(ok, nbr, default_id)
+    w = jnp.where(ok, w, 0.0)
+    ty = jnp.where(ok, ty, -1)
+    eid = jnp.where(ok, eid, -1)
+    own_any = owned[:, None]
+    return (_route_ids(view, own_any, nbr, b, default_id),
+            _route_vals(view, own_any, w, b),
+            _route_ids(view, own_any, ty, b, -1),
+            _route_ids(view, own_any, eid, b, -1))
+
+
+def _sample_neighbor_local(view: ShardView, key, nodes, ets, count,
+                           default_id):
+    """Per-shard payload draws for LOCAL-OWNED global ids (no
+    collectives): (nbr, w, ty, eid, ok)."""
     B = nodes.shape[0]
-    owned, rows = _own_rows(view, nodes)
+    rows = jnp.clip(jnp.maximum(nodes, 0) // view.num_shards, 0,
+                    view.node_type.shape[0] - 1)
     kt, kd = jax.random.split(key)
 
     et_arr = jnp.asarray(ets, jnp.int32)
@@ -633,7 +680,7 @@ def sample_neighbor_sharded(view: ShardView, key, nodes, ets, count,
                                         view.sample_pack.shape[0] - 1)]
         prob = jax.lax.bitcast_convert_type(row[..., 0], jnp.float32)
         sel = jnp.where((u2 < prob)[..., None], row[..., 1:5], row[..., 5:9])
-        ok = owned[:, None] & (size > 0) & (total > 0)[:, None]
+        ok = (nodes >= 0)[:, None] & (size > 0) & (total > 0)[:, None]
         nbr = jnp.where(ok, sel[..., 0], default_id)
         ty = jnp.where(ok, sel[..., 1], -1)
         eid = jnp.where(ok, sel[..., 2], -1)
@@ -644,19 +691,14 @@ def sample_neighbor_sharded(view: ShardView, key, nodes, ets, count,
         slot = alias_draw(kd, view.adj_prob, view.adj_alias, lo, hi - lo,
                           (B, count))
         slot = jnp.maximum(slot, 0)
-        ok = owned[:, None] & (hi > lo) & (total > 0)[:, None]
+        ok = (nodes >= 0)[:, None] & (hi > lo) & (total > 0)[:, None]
         s = jnp.clip(slot, 0, view.adj_dst.shape[0] - 1)
         nbr = jnp.where(ok, view.adj_dst[s], default_id)
         w = jnp.where(ok, view.adj_w[s], 0.0)
         ty = jnp.where(ok, view.adj_type[s], -1)
         eid = jnp.where(ok, view.adj_eid[s], -1)
 
-    own_any = owned[:, None]
-    nbr = _route_ids(view, own_any, nbr, b, default_id)
-    w = _route_vals(view, own_any, w, b)
-    ty = _route_ids(view, own_any, ty, b, -1)
-    eid = _route_ids(view, own_any, eid, b, -1)
-    return nbr, w, ty, eid
+    return nbr, w, ty, eid, ok
 
 
 # --- owner-compute gating (VERDICT r3 #4: per-shard gather count must
@@ -845,8 +887,25 @@ def get_sparse_feature_sharded(view: ShardView, nodes, names):
     flat_in = nodes.reshape(-1)
     b = flat_in.shape[0]
     flat_all = _spread(view, flat_in)
-    owned, rows = _own_rows(view, flat_all)
+    S = view.num_shards
+    cap = _owner_cap(b, S)
     out = []
+    if cap is not None:
+        buf_row, buf_has, sel_ok = _compact_owned(view, flat_all, cap)
+        crow = jnp.clip(jnp.maximum(flat_all[buf_row], 0) // S, 0,
+                        view.node_type.shape[0] - 1)
+        scat = jnp.where(buf_has, buf_row, flat_all.shape[0])
+        for n in names:
+            tab, _ = view.sparse_nf[n]
+            vc = jnp.where(buf_has[:, None], tab[crow] + 1, 0)
+            v = jnp.zeros((flat_all.shape[0], tab.shape[-1]),
+                          tab.dtype).at[scat].set(vc, mode="drop")
+            ids = _owner_to_mine(view, jnp.where(sel_ok[:, None], v, 0),
+                                 b) - 1
+            ids = ids.reshape(shape_in + (tab.shape[-1],))
+            out.append((ids, ids >= 0))
+        return out
+    owned, rows = _own_rows(view, flat_all)
     for n in names:
         tab, _ = view.sparse_nf[n]
         ids = jnp.where(owned[:, None], tab[rows] + 1, 0)
@@ -862,6 +921,18 @@ def get_node_type_sharded(view: ShardView, nodes):
     flat_in = nodes.reshape(-1)
     b = flat_in.shape[0]
     flat_all = _spread(view, flat_in)
+    S = view.num_shards
+    cap = _owner_cap(b, S)
+    if cap is not None:
+        buf_row, buf_has, sel_ok = _compact_owned(view, flat_all, cap)
+        crow = jnp.clip(jnp.maximum(flat_all[buf_row], 0) // S, 0,
+                        view.node_type.shape[0] - 1)
+        scat = jnp.where(buf_has, buf_row, flat_all.shape[0])
+        vc = jnp.where(buf_has, view.node_type[crow] + 1, 0)
+        v = jnp.zeros((flat_all.shape[0],), jnp.int32).at[scat].set(
+            vc, mode="drop")
+        return (_owner_to_mine(view, jnp.where(sel_ok, v, 0), b)
+                - 1).reshape(shape_in)
     owned, rows = _own_rows(view, flat_all)
     ty = jnp.where(owned, view.node_type[rows] + 1, 0)
     return (_owner_to_mine(view, ty, b) - 1).reshape(shape_in)

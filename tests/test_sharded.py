@@ -441,7 +441,12 @@ def test_owner_compute_sampling_parity(toy_graph, sg4, mesh24):
         ids, valid = sampling.sample_neighbor_fast(view, key, nodes, et,
                                                    16)
         feat = feature_ops.get_dense_feature(view, nodes, ["dense2"])[0]
-        return ids, valid, feat
+        nbr, w, ty, eid = sampling.sample_neighbor(view, key, nodes, et,
+                                                   8)
+        sp, spm = feature_ops.get_sparse_feature(view, nodes,
+                                                 ["sparse_ids"])[0]
+        nt = sampling.get_node_type(view, nodes)
+        return ids, valid, feat, nbr, w, ty, eid, sp, nt
 
     try:
         sharded.set_owner_compute(False)
@@ -456,6 +461,10 @@ def test_owner_compute_sampling_parity(toy_graph, sg4, mesh24):
     # valid masks identical (capacity 4*64=256 = S*b, nothing dropped)
     np.testing.assert_array_equal(got[1], ref[1])
     np.testing.assert_allclose(got[2], ref[2], rtol=1e-6)
+    # payload verb: same per-row validity + weights where drawn equal
+    np.testing.assert_array_equal(got[5] >= 0, ref[5] >= 0)   # types
+    np.testing.assert_array_equal(got[8], ref[8])             # node types
+    np.testing.assert_array_equal(got[7], ref[7])             # sparse ids
     # sampled ids: both paths draw from the true out-neighbor sets
     out_sets = {}
     for s, d, _t, _w in fixtures.EDGES:
