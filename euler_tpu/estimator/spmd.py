@@ -84,15 +84,6 @@ class SpmdEstimator(BaseEstimator):
             self.model, self.sg, self.mesh, self.batch_per_device,
             seed=self.config.seed, ids_fn=self._ids_fn(),
             expand_fn=self._expand_fn())
-        extra = [k for k in params if k != "params"]
-        if extra:
-            raise NotImplementedError(
-                f"model carries mutable collections {extra} (e.g. "
-                "ScalableGNNNet's historical-embedding caches): per-"
-                "device cache writes need a cross-device merge that the "
-                "SPMD estimators don't implement yet — train this model "
-                "single-chip (BaseEstimator), where the caches are "
-                "supported")
         return params
 
     @property
@@ -107,22 +98,40 @@ class SpmdEstimator(BaseEstimator):
         cfg = self.config
         total = total_steps or cfg.total_steps
         spl = max(1, int(cfg.steps_per_loop))
-        params = self.params
-        ps = self.pspecs
+        variables = dict(self.params)
+        params = variables.pop("params", {})
+        state = variables                   # mutable collections
+        mutable = list(state.keys())
+        full_specs = self.pspecs
+        ps = full_specs.get("params", None) if isinstance(
+            full_specs, dict) else full_specs
+        ss = {k: v for k, v in full_specs.items() if k != "params"} \
+            if isinstance(full_specs, dict) else None
+        kw = dict(ids_fn=self._ids_fn(), expand_fn=self._expand_fn(),
+                  pspecs=ps, mutable=mutable, sspecs=ss)
         step = train_lib.make_sharded_train_step(
             self.model, self.sg, self.tx, self.mesh,
-            self.batch_per_device, ids_fn=self._ids_fn(),
-            expand_fn=self._expand_fn(), pspecs=ps)
+            self.batch_per_device, **kw)
         loop = step if spl == 1 else train_lib.make_sharded_train_step(
             self.model, self.sg, self.tx, self.mesh,
-            self.batch_per_device, ids_fn=self._ids_fn(),
-            expand_fn=self._expand_fn(), steps_per_loop=spl, pspecs=ps)
+            self.batch_per_device, steps_per_loop=spl, **kw)
         opt_state = self.tx.init(params)
         key = jax.random.PRNGKey(cfg.seed + 1)
         t0 = time.time()
         loss = jnp.float32(float("nan"))
         i = 0
         next_refresh = cfg.reservoir_refresh or float("inf")
+
+        def run(fn, sub):
+            nonlocal params, state, opt_state, loss
+            if mutable:
+                params, state, opt_state, loss = fn(params, state,
+                                                    opt_state, self.sg,
+                                                    sub)
+            else:
+                params, opt_state, loss = fn(params, opt_state, self.sg,
+                                             sub)
+
         with self.mesh:
             while i < total:
                 if i >= next_refresh:
@@ -132,12 +141,10 @@ class SpmdEstimator(BaseEstimator):
                     next_refresh += cfg.reservoir_refresh
                 key, sub = jax.random.split(key)
                 if spl > 1 and i + spl <= total:
-                    params, opt_state, loss = loop(params, opt_state,
-                                                   self.sg, sub)
+                    run(loop, sub)
                     i += spl
                 else:
-                    params, opt_state, loss = step(params, opt_state,
-                                                   self.sg, sub)
+                    run(step, sub)
                     i += 1
                 if cfg.log_steps and i % max(cfg.log_steps, 1) < spl:
                     rate = i * cfg.batch_size / (time.time() - t0)
@@ -145,9 +152,9 @@ class SpmdEstimator(BaseEstimator):
                            f"loss={float(loss):.4f} ({rate:.0f} ex/s)")
                 if cfg.save_steps and i % cfg.save_steps < spl \
                         and i >= cfg.save_steps:
-                    self._params = params
+                    self._params = {"params": params, **state}
                     self._save(i)
-        self._params = params
+        self._params = {"params": params, **state}
         self._save(total)
         return {"loss": float(loss), "steps": total}
 

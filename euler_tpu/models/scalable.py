@@ -37,6 +37,42 @@ from euler_tpu.ops import sampling
 Array = jnp.ndarray
 
 
+def _sharded_store_read(view, table, ids):
+    """Owner-routed lookup over a graph-axis-sharded store
+    (row r on shard r % S at local row r // S): all_gather the query
+    ids, each shard gathers its rows, all_to_all the answers back."""
+    S, axis = view.num_shards, view.axis
+    n_local = table.shape[0]
+    shape_in = ids.shape
+    flat = ids.reshape(-1)
+    b = flat.shape[0]
+    alln = jax.lax.all_gather(flat, axis, axis=0).reshape(-1)
+    owned = (alln >= 0) & (alln % S == jax.lax.axis_index(axis))
+    rows = jnp.clip(jnp.where(owned, alln, 0) // S, 0, n_local - 1)
+    v = jnp.where(owned[:, None], table[rows], 0.0)
+    ex = jax.lax.all_to_all(v, axis, split_axis=0, concat_axis=0,
+                            tiled=True)
+    out = ex.reshape(S, b, table.shape[-1]).sum(axis=0)
+    return out.reshape(shape_in + (table.shape[-1],))
+
+
+def _sharded_store_write(view, table, ids, values):
+    """Scatter minibatch rows into the sharded store: writes gather over
+    the WHOLE mesh so every data-axis replica of a shard applies the
+    identical write set (keeps the 'replicated over data, sharded over
+    graph' layout consistent). Returns the updated local block."""
+    S, axis = view.num_shards, view.axis
+    n_local = table.shape[0]
+    ids_all = jax.lax.all_gather(ids, ("data", "graph"), axis=0,
+                                 tiled=True)
+    val_all = jax.lax.all_gather(values, ("data", "graph"), axis=0,
+                                 tiled=True)
+    mine = (ids_all >= 0) & (ids_all % S == jax.lax.axis_index(axis))
+    rows = jnp.where(mine, ids_all // S, n_local)   # out-of-range drops
+    return table.at[rows].set(
+        jnp.where(mine[:, None], val_all, 0.0), mode="drop")
+
+
 class ScalableGNNNet(nn.Module):
     """num_layers of aggregator over 1-hop samples + per-layer caches.
 
@@ -56,20 +92,46 @@ class ScalableGNNNet(nn.Module):
     @nn.compact
     def __call__(self, g: GraphTensors, roots: Array,
                  train: bool = True) -> Array:
+        from euler_tpu.ops.dispatch import is_shard_view
         roots = jnp.asarray(roots, jnp.int32).reshape(-1)
         key = self.make_rng("sample")
         nbr, w, ty, eid = sampling.sample_neighbor(
             g, key, roots, self.edge_types, self.fanout)
         nmask = nbr >= 0
 
+        sharded = is_shard_view(g)
         Agg = aggr_lib.get(self.aggregator)
-        stores = [
-            self.variable(
-                "cache", f"store_layer_{i}",
-                lambda i=i: jax.random.uniform(
+        if sharded:
+            # graph-axis-sharded stores: row r on shard r % S at local
+            # row r // S, boxed so the SPMD plumbing derives
+            # PartitionSpec('graph') (the reference keeps the stores on
+            # the PS for the same reason, encoders.py:314-327)
+            from euler_tpu.models.layers import ManualPartitioned
+            S = g.num_shards
+            n_local = -(-(self.n_nodes + 1) // S)
+
+            def mkstore(i):
+                return ManualPartitioned(
+                    jax.random.uniform(jax.random.PRNGKey(i),
+                                       (n_local, self.dim),
+                                       maxval=self.store_init_maxval),
+                    names=("graph", None), mesh=None)
+        else:
+            def mkstore(i):
+                return jax.random.uniform(
                     jax.random.PRNGKey(i), (self.n_nodes + 1, self.dim),
-                    maxval=self.store_init_maxval))
-            for i in range(1, self.num_layers)]
+                    maxval=self.store_init_maxval)
+
+        stores = [self.variable("cache", f"store_layer_{i}",
+                                lambda i=i: mkstore(i))
+                  for i in range(1, self.num_layers)]
+
+        # NB: flax unboxes AxisMetadata transparently on variable access
+        # and re-boxes on assignment — module code sees raw local blocks
+        def read(store, rows):
+            if sharded:
+                return _sharded_store_read(g, store.value, rows)
+            return store.value[rows]
 
         node_emb = self.feature(g, roots)
         neigh_emb = self.feature(g, nbr.reshape(-1)).reshape(
@@ -85,19 +147,23 @@ class ScalableGNNNet(nn.Module):
                 node_emb = agg
             node_embs.append(node_emb)
             if layer < self.num_layers - 1:
-                table = stores[layer].value
                 rows = jnp.where(nbr >= 0, nbr, self.n_nodes)
-                neigh_emb = jax.lax.stop_gradient(table[rows])
+                neigh_emb = jax.lax.stop_gradient(read(stores[layer],
+                                                       rows))
 
         if train:
             # write fresh minibatch embeddings back
             # (reference: _update_store, encoders.py:374-380)
             for store, emb in zip(stores, node_embs):
-                ok = roots >= 0
-                rows = jnp.where(ok, roots, self.n_nodes)
-                store.value = store.value.at[rows].set(
-                    jnp.where(ok[:, None], jax.lax.stop_gradient(emb),
-                              store.value[rows]))
+                emb = jax.lax.stop_gradient(emb)
+                if sharded:
+                    store.value = _sharded_store_write(
+                        g, store.value, roots, emb)
+                else:
+                    ok = roots >= 0
+                    rows = jnp.where(ok, roots, self.n_nodes)
+                    store.value = store.value.at[rows].set(
+                        jnp.where(ok[:, None], emb, store.value[rows]))
         out = node_emb
         return jnp.where((roots >= 0)[:, None], out, 0.0)
 

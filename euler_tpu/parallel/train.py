@@ -110,64 +110,85 @@ def make_sharded_train_step(model, sg: ShardedGraphTensors,
                             ids_fn: Optional[Callable] = None,
                             expand_fn: Optional[Callable] = None,
                             steps_per_loop: int = 1,
-                            pspecs=None):
+                            pspecs=None, mutable=(), sspecs=None):
     """Returns jitted ``step(params, opt_state, sg, key) ->
-    (params, opt_state, loss)``.
+    (params, opt_state, loss)`` — or, with ``mutable`` collections
+    (e.g. ScalableGNNNet's 'cache'), ``step(params, state, opt_state,
+    sg, key) -> (params, state, opt_state, loss)`` where ``state`` is
+    the non-trainable collections dict with specs ``sspecs``.
 
-    Layout: params/opt_state replicated; graph arrays P('graph'); each
-    device trains on ``batch_per_device`` roots (global batch =
-    batch_per_device * n_devices). ``steps_per_loop > 1`` scans that many
-    optimizer steps inside ONE device program (the estimator's
-    steps_per_loop semantics — amortizes host->device dispatch, the
-    tunneled-TPU analog of the reference's per-batch RPC overhead).
+    Layout: params/opt_state replicated (sharded-table leaves follow
+    ``pspecs``); graph arrays P('graph'); each device trains on
+    ``batch_per_device`` roots (global batch = batch_per_device *
+    n_devices). ``steps_per_loop > 1`` scans that many optimizer steps
+    inside ONE device program (the estimator's steps_per_loop semantics
+    — amortizes host->device dispatch, the tunneled-TPU analog of the
+    reference's per-batch RPC overhead).
     """
     S = sg.num_shards
     gspecs = shard_specs(sg)
     if ids_fn is None:
         ids_fn = node_ids_fn(node_type)
     ps = P() if pspecs is None else pspecs
+    mutable = list(mutable)
+    ss = P() if sspecs is None else sspecs
 
-    def local_loss(params, sg_block, key):
+    def local_loss(params, state, sg_block, key):
         view = to_view(sg_block, "graph")
         batch, ksample = _local_batch(view, key, ids_fn, expand_fn,
                                       batch_per_device, S)
-        out = model.apply(params, view, batch, rngs={"sample": ksample})
-        return out["loss"]
+        if mutable:
+            out, new_state = model.apply(
+                {"params": params, **state}, view, batch,
+                rngs={"sample": ksample}, mutable=mutable)
+        else:
+            out = model.apply({"params": params, **state}, view, batch,
+                              rngs={"sample": ksample})
+            new_state = state
+        return out["loss"], new_state
 
-    def sharded_step(params, opt_state, sg_in, key):
-        def lossfn(p, blk, k):
-            loss = local_loss(p, blk, k)
-            return jax.lax.pmean(loss, ("data", "graph"))
+    def sharded_step(params, state, opt_state, sg_in, key):
+        def lossfn(p, st, blk, k):
+            loss, new_state = local_loss(p, st, blk, k)
+            return jax.lax.pmean(loss, ("data", "graph")), new_state
 
-        def grad_body(p, blk, k):
-            loss, grads = jax.value_and_grad(lossfn)(p, blk, k)
-            return loss, _sync_grads(grads)
+        def grad_body(p, st, blk, k):
+            (loss, new_state), grads = jax.value_and_grad(
+                lossfn, has_aux=True)(p, st, blk, k)
+            return loss, new_state, _sync_grads(grads)
 
-        loss, grads = jax.shard_map(
+        loss, new_state, grads = jax.shard_map(
             grad_body, mesh=mesh,
-            in_specs=(ps, gspecs, P()),
-            out_specs=(P(), ps),
+            in_specs=(ps, ss, gspecs, P()),
+            out_specs=(P(), ss, ps),
             check_vma=False,
-        )(params, sg_in, key)
+        )(params, state, sg_in, key)
         updates, opt_state = tx.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, loss
+        return (optax.apply_updates(params, updates), new_state,
+                opt_state, loss)
 
-    if steps_per_loop <= 1:
-        return jax.jit(sharded_step, donate_argnums=(0, 1))
-
-    def run_loop(params, opt_state, sg_in, key):
+    def run_loop(params, state, opt_state, sg_in, key):
         def body(carry, i):
-            p, o = carry
-            p, o, loss = sharded_step(p, o, sg_in,
-                                      jax.random.fold_in(key, i))
-            return (p, o), loss
+            p, st, o = carry
+            p, st, o, loss = sharded_step(p, st, o, sg_in,
+                                          jax.random.fold_in(key, i))
+            return (p, st, o), loss
 
-        (params, opt_state), losses = jax.lax.scan(
-            body, (params, opt_state),
+        (params, state, opt_state), losses = jax.lax.scan(
+            body, (params, state, opt_state),
             jnp.arange(steps_per_loop, dtype=jnp.int32))
-        return params, opt_state, losses[-1]
+        return params, state, opt_state, losses[-1]
 
-    return jax.jit(run_loop, donate_argnums=(0, 1))
+    inner = sharded_step if steps_per_loop <= 1 else run_loop
+    if mutable:
+        return jax.jit(inner, donate_argnums=(0, 1, 2))
+
+    # stateless models keep the historical 4-arg signature
+    def stateless(params, opt_state, sg_in, key):
+        p, _, o, loss = inner(params, {}, opt_state, sg_in, key)
+        return p, o, loss
+
+    return jax.jit(stateless, donate_argnums=(0, 1))
 
 
 def init_sharded_params(model, sg: ShardedGraphTensors, mesh: Mesh,
@@ -240,7 +261,12 @@ def make_sharded_apply(model, sg: ShardedGraphTensors, mesh: Mesh,
             key = jax.random.fold_in(key, idx)
         if expand_fn is not None:
             batch = expand_fn(view, batch)
-        out = model.apply(params, view, batch, rngs={"sample": key})
+        mut = [k for k in params if k != "params"]
+        if mut:   # cache-carrying models: discard updates in eval
+            out, _ = model.apply(params, view, batch,
+                                 rngs={"sample": key}, mutable=mut)
+        else:
+            out = model.apply(params, view, batch, rngs={"sample": key})
         if split_batch:
             out = {k: jax.lax.pmean(v, ("data", "graph"))
                    if jnp.ndim(v) == 0 else v for k, v in out.items()}

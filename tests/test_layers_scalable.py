@@ -160,6 +160,13 @@ def test_scalable_sage_example_runs(tmp_path):
             os.path.join(root, "scalable_sage", "run_scalable_sage.py"))
         mod = importlib.util.module_from_spec(spec)
         spec.loader.exec_module(mod)
+        out_mesh = mod.main(["--mesh", "2x4", "--dataset", "sbm",
+                             "--batch_size", "32", "--total_steps", "8",
+                             "--log_steps", "0", "--hidden_dim", "16",
+                             "--layers", "2", "--fanouts", "5",
+                             "--model_dir", str(tmp_path / "ss_mesh"),
+                             "--data_dir", str(tmp_path / "dm")])
+        assert np.isfinite(out_mesh["loss"])
         out = mod.main(["--dataset", "sbm", "--batch_size", "32",
                         "--total_steps", "40", "--log_steps", "0",
                         "--hidden_dim", "16", "--layers", "2",
