@@ -99,14 +99,17 @@ class SpmdEstimator(BaseEstimator):
         total = total_steps or cfg.total_steps
         spl = max(1, int(cfg.steps_per_loop))
         variables = dict(self.params)
-        params = variables.pop("params", {})
-        state = variables                   # mutable collections
-        mutable = list(state.keys())
+        mutable = [k for k in variables if k != "params"]
         full_specs = self.pspecs
-        ps = full_specs.get("params", None) if isinstance(
-            full_specs, dict) else full_specs
-        ss = {k: v for k, v in full_specs.items() if k != "params"} \
-            if isinstance(full_specs, dict) else None
+        if mutable:
+            params = variables.pop("params", {})
+            state = variables               # mutable collections
+            ps = full_specs.get("params", None)
+            ss = {k: v for k, v in full_specs.items() if k != "params"}
+        else:
+            params = self.params            # full variables (legacy)
+            state = {}
+            ps, ss = full_specs, None
         kw = dict(ids_fn=self._ids_fn(), expand_fn=self._expand_fn(),
                   pspecs=ps, mutable=mutable, sspecs=ss)
         step = train_lib.make_sharded_train_step(
@@ -152,9 +155,10 @@ class SpmdEstimator(BaseEstimator):
                            f"loss={float(loss):.4f} ({rate:.0f} ex/s)")
                 if cfg.save_steps and i % cfg.save_steps < spl \
                         and i >= cfg.save_steps:
-                    self._params = {"params": params, **state}
+                    self._params = {"params": params, **state} \
+                        if mutable else params
                     self._save(i)
-        self._params = {"params": params, **state}
+        self._params = {"params": params, **state} if mutable else params
         self._save(total)
         return {"loss": float(loss), "steps": total}
 

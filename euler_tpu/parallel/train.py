@@ -142,7 +142,9 @@ def make_sharded_train_step(model, sg: ShardedGraphTensors,
                 {"params": params, **state}, view, batch,
                 rngs={"sample": ksample}, mutable=mutable)
         else:
-            out = model.apply({"params": params, **state}, view, batch,
+            # legacy stateless contract: ``params`` IS the full
+            # variables dict (what init_sharded_params returns)
+            out = model.apply(params, view, batch,
                               rngs={"sample": ksample})
             new_state = state
         return out["loss"], new_state
