@@ -257,8 +257,17 @@ class ARMAConv(nn.Module):
 
 
 class DNAConv(nn.Module):
-    """reference: dna_conv.py (grouped QKV attention over edges with
-    restricted softmax)."""
+    """reference: dna_conv.py — per-edge QKV attention with RESTRICTED
+    softmax + mean aggregation.
+
+    The reference's restricted_softmax (dna_conv.py:72-81) runs over the
+    key axis, which per edge has length 1 with an implicit extra zero
+    logit — algebraically a per-edge SIGMOID gate on the q·k score, NOT
+    a softmax across a target's edges. The shared ``in_fc`` projects
+    both endpoints. Deviation: the reference's in-block sym-norm
+    (norm_i*norm_j, dna_conv.py:105-113) is folded out — fixed-fanout
+    blocks make norm_i a constant the next layer absorbs, and in-block
+    source degrees are ~1 under sampling."""
     dim: int
     heads: int = 1
 
@@ -268,8 +277,8 @@ class DNAConv(nn.Module):
         mask = block.mask
         d = self.dim
         h = self.heads
-        x_tgt = nn.Dense(d, use_bias=False)(x_tgt)
-        x_src = nn.Dense(d, use_bias=False)(x_src)
+        in_fc = nn.Dense(d, use_bias=False)       # shared (dna_conv.py:94)
+        x_tgt, x_src = in_fc(x_tgt), in_fc(x_src)
         # q/k/v are per-node linear maps: project then expand per edge
         q = block.gather_tgt(nn.Dense(d)(x_tgt))
         k = block.gather_src(nn.Dense(d)(x_src))
@@ -277,8 +286,8 @@ class DNAConv(nn.Module):
         dh = d // h
         score = jnp.sum(q.reshape(-1, h, dh) * k.reshape(-1, h, dh),
                         axis=-1) / jnp.sqrt(dh)  # [E, h]
-        alpha = block.softmax(score, mask)
-        msg = (alpha[:, :, None] * v.reshape(-1, h, dh)).reshape(-1, d)
+        gate = jax.nn.sigmoid(score)             # restricted softmax
+        msg = (gate[:, :, None] * v.reshape(-1, h, dh)).reshape(-1, d)
         return block.scatter("mean", msg, mask)
 
 

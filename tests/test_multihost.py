@@ -63,6 +63,21 @@ with mesh:
         params, opt_state, loss = step(params, opt_state, sg,
                                        jax.random.fold_in(key, i))
         losses.append(float(loss))
+
+# the PRODUCT multi-host path: the SPMD estimator over the per-host
+# loaded shards (reference: base_estimator distribution inherited by
+# every example)
+from euler_tpu.estimator.estimator import RunConfig
+from euler_tpu.estimator.spmd import SpmdNodeEstimator
+# NB: checkpointing distributed arrays is a COLLECTIVE: every process
+# must save to the SAME directory or orbax deadlocks
+cfg = RunConfig(model_dir=graph_path + "_est_ckpt", batch_size=32,
+                total_steps=2, log_steps=0, save_steps=0,
+                reservoir_refresh=0)
+est = SpmdNodeEstimator(model, sg, cfg, mesh=mesh)
+est_res = est.train()
+losses.append(est_res["loss"])
+
 with open(out_path, "w") as f:
     json.dump({"proc": proc_id, "losses": losses,
                "n_local_devices": jax.local_device_count()}, f)
