@@ -145,3 +145,36 @@ def test_graphconv_golden():
     want = X[:T] @ k1 + b1 + aggr / np.maximum(cnt, 1)[:, None]
     np.testing.assert_allclose(_apply(conv, params), want, rtol=1e-5,
                                atol=1e-6)
+
+
+def test_dna_golden():
+    """reference dna_conv.py: shared in_fc on both endpoints, per-edge
+    q.k / sqrt(d) score, restricted_softmax over the singleton key axis
+    (== sigmoid, the implicit zero logit of dna_conv.py:72-81), gated
+    value, scatter MEAN over each target's real edges."""
+    conv = convs.DNAConv(dim=D, heads=1)
+    Wq = RNG.normal(size=(D, D)).astype(np.float32)
+    bq = np.zeros(D, np.float32)
+    Wk = RNG.normal(size=(D, D)).astype(np.float32)
+    Wv = RNG.normal(size=(D, D)).astype(np.float32)
+    params = {"params": {
+        "Dense_0": {"kernel": W1},                 # shared in_fc
+        "Dense_1": {"kernel": Wq, "bias": bq},     # q
+        "Dense_2": {"kernel": Wk, "bias": bq},     # k
+        "Dense_3": {"kernel": Wv, "bias": bq},     # v
+    }}
+    h = X @ W1
+    q = h @ Wq
+    k = h @ Wk
+    v = h @ Wv
+    want = np.zeros((T, D), np.float32)
+    for t in range(T):
+        es = [(d, s) for d, s in _edges() if d == t]
+        msgs = []
+        for d_, s_ in es:
+            score = float(q[d_] @ k[s_]) / np.sqrt(D)
+            gate = 1.0 / (1.0 + np.exp(-score))
+            msgs.append(gate * v[s_])
+        want[t] = np.mean(msgs, axis=0)
+    np.testing.assert_allclose(_apply(conv, params), want, rtol=1e-4,
+                               atol=1e-5)
