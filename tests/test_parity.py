@@ -178,3 +178,76 @@ def test_dna_golden():
         want[t] = np.mean(msgs, axis=0)
     np.testing.assert_allclose(_apply(conv, params), want, rtol=1e-4,
                                atol=1e-5)
+
+
+def _deg():
+    """Per-endpoint degrees over the REAL edges of the fixture."""
+    dt = np.zeros(T)
+    ds_ = np.zeros(S)
+    for d, s in _edges():
+        dt[d] += 1
+        ds_[s] += 1
+    return dt, ds_
+
+
+def test_agnn_golden():
+    """reference agnn_conv.py: cosine attention with learnable beta,
+    scatter_softmax over each target's edges, add-aggregation of the raw
+    source features."""
+    conv = convs.AGNNConv(dim=D)
+    beta = 1.7
+    params = {"params": {"beta": np.asarray([beta], np.float32)}}
+    xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    want = np.zeros((T, D), np.float32)
+    for t in range(T):
+        es = [(d, s) for d, s in _edges() if d == t]
+        scores = np.asarray([beta * float(xn[d] @ xn[s]) for d, s in es])
+        a = np.exp(scores - scores.max())
+        a = a / a.sum()
+        want[t] = sum(ai * X[s] for ai, (_, s) in zip(a, es))
+    np.testing.assert_allclose(_apply(conv, params), want, rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_tag_golden():
+    """reference tag_conv.py: K sym-norm propagations, concat
+    [x, hop1..hopK] -> one bias-free fc (K=1 keeps the hand math flat)."""
+    conv = convs.TAGConv(dim=D, K=1)
+    Wc = RNG.normal(size=(2 * D, D)).astype(np.float32)
+    params = {"params": {"Dense_0": {"kernel": Wc}}}
+    dt, ds_ = _deg()
+    hop1 = np.zeros((T, D), np.float32)
+    for d, s in _edges():
+        hop1[d] += X[s] / np.sqrt(dt[d] * ds_[s])
+    want = np.concatenate([X[:T], hop1], axis=1) @ Wc
+    np.testing.assert_allclose(_apply(conv, params), want, rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_appnp_golden():
+    """reference appnp_conv.py: out = (1-a) * sym_norm_aggr + a * x
+    (K=1 iteration)."""
+    conv = convs.APPNPConv(dim=D, K=1, alpha=0.25)
+    params = {"params": {}}
+    dt, ds_ = _deg()
+    aggr = np.zeros((T, D), np.float32)
+    for d, s in _edges():
+        aggr[d] += X[s] / np.sqrt(dt[d] * ds_[s])
+    want = 0.75 * aggr + 0.25 * X[:T]
+    np.testing.assert_allclose(_apply(conv, params), want, rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_sgcn_golden():
+    """reference sgcn_conv.py: K sym-norm propagations then one
+    bias-free fc (K=1)."""
+    conv = convs.SGCNConv(dim=D, K=1)
+    Wc = RNG.normal(size=(D, D)).astype(np.float32)
+    params = {"params": {"Dense_0": {"kernel": Wc}}}
+    dt, ds_ = _deg()
+    hop1 = np.zeros((T, D), np.float32)
+    for d, s in _edges():
+        hop1[d] += X[s] / np.sqrt(dt[d] * ds_[s])
+    want = hop1 @ Wc
+    np.testing.assert_allclose(_apply(conv, params), want, rtol=1e-4,
+                               atol=1e-5)
