@@ -251,3 +251,41 @@ def test_sgcn_golden():
     want = hop1 @ Wc
     np.testing.assert_allclose(_apply(conv, params), want, rtol=1e-4,
                                atol=1e-5)
+
+
+def test_relation_golden():
+    """reference relation_conv.py:33-72: per-relation matrix on each
+    edge's source feature, scatter MEAN, + bias-free self fc."""
+    conv = convs.RelationConv(dim=D, num_relations=2)
+    M = RNG.normal(size=(2, D, D)).astype(np.float32)
+    Wf = RNG.normal(size=(D, D)).astype(np.float32)
+    params = {"params": {"matrix": M, "Dense_0": {"kernel": Wf}}}
+    attr = np.array([0, 1, 0, 1, 0, 1, 0], np.int32)
+    blk = _block()
+    x = jnp.asarray(X)
+    got = np.asarray(conv.apply(params, (x[:T], x), blk,
+                                edge_attr=jnp.asarray(attr)))
+    want = np.zeros((T, D), np.float32)
+    for t in range(T):
+        msgs = [M[attr[k]] @ X[s]
+                for k, (d, s) in enumerate(zip(DST, SRC))
+                if MASK[k] > 0 and d == t]
+        want[t] = X[t] @ Wf + np.mean(msgs, axis=0)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_arma_golden():
+    """reference arma_conv.py (T=1, K=1): out = relu(sym_norm_aggr(W x_j)
+    + V x_i)."""
+    conv = convs.ARMAConv(dim=D, K=1, T=1)
+    Wk = RNG.normal(size=(D, D)).astype(np.float32)
+    Vk = RNG.normal(size=(D, D)).astype(np.float32)
+    params = {"params": {"Dense_0": {"kernel": Wk},
+                         "Dense_1": {"kernel": Vk}}}
+    dt, ds_ = _deg()
+    aggr = np.zeros((T, D), np.float32)
+    for d, s in _edges():
+        aggr[d] += (X[s] @ Wk) / np.sqrt(dt[d] * ds_[s])
+    want = np.maximum(aggr + X[:T] @ Vk, 0.0)
+    np.testing.assert_allclose(_apply(conv, params), want, rtol=1e-4,
+                               atol=1e-5)
