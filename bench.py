@@ -50,6 +50,7 @@ import time
 
 TOTAL_DEADLINE_S = float(os.environ.get("EULER_BENCH_DEADLINE_S", 420))
 FALLBACK_S = float(os.environ.get("EULER_BENCH_FALLBACK_S", 300))
+RETRY_MIN_S = float(os.environ.get("EULER_BENCH_RETRY_MIN_S", 60))
 
 
 def _kill_group(proc):
@@ -134,7 +135,7 @@ def parent():
     tpu_stage = state["stage"]
     if not got:
         left = budget - (time.monotonic() - t0)
-        if left > 60:
+        if left > RETRY_MIN_S:
             got = _run_child({}, left, state)
             tpu_stage += ";retry:" + state["stage"]
     if not got:
@@ -368,8 +369,35 @@ def child():
            time.perf_counter() - t0, "pipelined")
 
 
+def _fake_child():
+    """Test hook: EULER_BENCH_FAKE_CHILD holds ';'-separated directives —
+    lines to print ('#stage x' or a JSON result), 'sleep:N', or 'hang'.
+    EULER_BENCH_FAKE_ONCE makes the SECOND child run real (retry tests).
+    Lets tests drive the watchdog parent deterministically without jax."""
+    script = os.environ["EULER_BENCH_FAKE_CHILD"]
+    marker = os.environ.get("EULER_BENCH_FAKE_MARKER")
+    if marker:
+        if os.path.exists(marker):   # second invocation: behave per-ONCE
+            script = os.environ.get("EULER_BENCH_FAKE_ONCE", script)
+        else:
+            open(marker, "w").close()
+    for d in script.split(";"):
+        d = d.strip()
+        if not d:
+            continue
+        if d == "hang":
+            time.sleep(3600)
+        elif d.startswith("sleep:"):
+            time.sleep(float(d.split(":")[1]))
+        else:
+            print(d, flush=True)
+
+
 if __name__ == "__main__":
     if "--child" in sys.argv:
-        child()
+        if os.environ.get("EULER_BENCH_FAKE_CHILD"):
+            _fake_child()
+        else:
+            child()
     else:
         parent()
