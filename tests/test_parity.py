@@ -289,3 +289,29 @@ def test_arma_golden():
     want = np.maximum(aggr + X[:T] @ Vk, 0.0)
     np.testing.assert_allclose(_apply(conv, params), want, rtol=1e-4,
                                atol=1e-5)
+
+
+def test_gated_golden():
+    """reference gated_graph_conv.py (1 processing step): message fc ->
+    masked scatter-ADD -> GRU state update (state = target features,
+    input = the aggregate). The GRU cell itself is applied directly with
+    the conv's own parameters; the golden part is the aggregation wiring
+    and the state/input orientation."""
+    import flax.linen as nn_
+    conv = convs.GatedConv(dim=D, processing_steps=1)
+    blk = _block()
+    x = jnp.asarray(X)
+    variables = conv.init(jax.random.PRNGKey(3), (x[:T], x), blk)
+    got = np.asarray(conv.apply(variables, (x[:T], x), blk))
+
+    Wfc = np.asarray(variables["params"]["Dense_0"]["kernel"])
+    msgs = X @ Wfc
+    aggr = np.zeros((T, D), np.float32)
+    for d, s in _edges():
+        aggr[d] += msgs[s]
+    cell = nn_.GRUCell(features=D)
+    cell_params = {"params": variables["params"]["GRUCell_0"]}
+    want, _ = cell.apply(cell_params, jnp.asarray(X[:T]),
+                         jnp.asarray(aggr))
+    np.testing.assert_allclose(got, np.asarray(want), rtol=1e-4,
+                               atol=1e-5)
