@@ -54,9 +54,20 @@ RETRY_MIN_S = float(os.environ.get("EULER_BENCH_RETRY_MIN_S", 60))
 
 
 def _kill_group(proc):
-    for sig in (signal.SIGKILL,):
+    """SIGTERM grace then SIGKILL: an abruptly killed child can leave a
+    wedged device-tunnel session server-side that blocks the NEXT
+    client; a brief graceful window lets the runtime disconnect."""
+    try:
+        os.killpg(proc.pid, signal.SIGTERM)
+    except (ProcessLookupError, PermissionError, OSError):
+        pass
+    try:
+        proc.wait(timeout=3)
+    except Exception:
+        pass
+    if proc.poll() is None:
         try:
-            os.killpg(proc.pid, sig)
+            os.killpg(proc.pid, signal.SIGKILL)
         except (ProcessLookupError, PermissionError, OSError):
             pass
     try:
@@ -136,6 +147,10 @@ def parent():
     if not got:
         left = budget - (time.monotonic() - t0)
         if left > RETRY_MIN_S:
+            # give the device terminal time to reap the killed session
+            # before reconnecting (a lingering session blocks new clients)
+            time.sleep(min(20.0, max(2.0, left * 0.1)))
+            left = budget - (time.monotonic() - t0)
             got = _run_child({}, left, state)
             tpu_stage += ";retry:" + state["stage"]
     if not got:
