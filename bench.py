@@ -87,13 +87,32 @@ def _run_child(extra_env, deadline_s, state):
     proc = subprocess.Popen(
         [sys.executable, os.path.abspath(__file__), "--child"],
         stdout=subprocess.PIPE, stderr=sys.stderr,
-        start_new_session=True, env=env, text=True, bufsize=1)
+        start_new_session=True, env=env)
     state["procs"].append(proc)
+    # non-blocking raw reads: select() readability does NOT guarantee a
+    # complete line, and a blocking readline() on a child that emitted a
+    # partial line then wedged would stall the parent past its deadline
+    fd = proc.stdout.fileno()
+    os.set_blocking(fd, False)
     sel = selectors.DefaultSelector()
     sel.register(proc.stdout, selectors.EVENT_READ)
     t_end = time.monotonic() + deadline_s
     got = False
-    buf = ""
+    buf = b""
+
+    def handle(raw):
+        nonlocal got
+        line = raw.decode("utf-8", errors="replace").strip()
+        if line.startswith("#stage"):
+            state["stage"] = line.split(None, 1)[1] if " " in line \
+                else line
+        elif line.startswith("{"):
+            try:
+                state["result"] = json.loads(line)
+                got = True
+            except ValueError:
+                pass
+
     try:
         while True:
             left = t_end - time.monotonic()
@@ -103,21 +122,18 @@ def _run_child(extra_env, deadline_s, state):
                 if proc.poll() is not None:
                     break
                 continue
-            chunk = proc.stdout.readline()
-            if chunk == "":          # EOF
-                break
-            line = (buf + chunk).strip()
-            buf = ""
-            if line.startswith("#stage"):
-                state["stage"] = line.split(None, 1)[1] if " " in line \
-                    else line
+            try:
+                chunk = os.read(fd, 65536)
+            except BlockingIOError:
                 continue
-            if line.startswith("{"):
-                try:
-                    state["result"] = json.loads(line)
-                    got = True
-                except ValueError:
-                    pass
+            if chunk == b"":         # EOF
+                break
+            buf += chunk
+            while b"\n" in buf:
+                line, buf = buf.split(b"\n", 1)
+                handle(line)
+        if buf:                      # unterminated tail at EOF/deadline
+            handle(buf)
     finally:
         sel.close()
         if proc.poll() is None:

@@ -172,6 +172,10 @@ class SpmdEstimator(BaseEstimator):
         ids = np.asarray(ids, np.int32)
         B = cfg.batch_size
         n = len(ids)
+        if n == 0:
+            raise ValueError(
+                "evaluate/infer called with an empty id sequence; pass at "
+                "least one id (padding rows are added automatically)")
         pad = (-n) % B
         pad_block = np.full((pad,) + ids.shape[1:], -1, ids.dtype)
         padded = np.concatenate([ids, pad_block])

@@ -184,6 +184,9 @@ class StreamWriter:
             self.edge_specs,
             {n: v for n, v in feats.items() if not n.endswith("\0len")},
             "edge")
+        if max(src.max(initial=-1), dst.max(initial=-1)) >= 2 ** 31:
+            raise ValueError("edge endpoint ids must fit int32 (dense "
+                             "[0, N) ids; run the id compactor first)")
         eid = np.arange(self.n_edges, self.n_edges + c, dtype=np.int32)
         self.n_edges += c
         self.n_nodes = max(self.n_nodes,

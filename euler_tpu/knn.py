@@ -132,12 +132,21 @@ class IvfKnnIndex(KnnIndex):
 
     def search(self, queries, k: int = 10, nprobe: Optional[int] = None):
         q = jnp.asarray(np.asarray(queries, np.float32))
-        np_ = min(nprobe or self.nprobe, self._members.shape[0])
-        d, i = _ivf_search(self._emb, self._cent, self._members, q, k,
+        C, maxM = self._members.shape
+        np_ = min(nprobe or self.nprobe, C)
+        # probed clusters expose at most nprobe*maxM candidates; clamp k
+        # (top_k over fewer candidates raises) and pad the tail with
+        # -1 ids / +inf distances like an under-filled faiss result
+        kk = min(k, np_ * maxM)
+        d, i = _ivf_search(self._emb, self._cent, self._members, q, kk,
                            np_)
-        i = np.asarray(i)
-        return np.asarray(d), np.where(i >= 0, self.ids[np.maximum(i, 0)],
-                                       -1)
+        d, i = np.asarray(d), np.asarray(i)
+        if kk < k:
+            d = np.concatenate(
+                [d, np.full((d.shape[0], k - kk), np.inf, d.dtype)], axis=1)
+            i = np.concatenate(
+                [i, np.full((i.shape[0], k - kk), -1, i.dtype)], axis=1)
+        return d, np.where(i >= 0, self.ids[np.maximum(i, 0)], -1)
 
 
 def main(argv=None):

@@ -611,19 +611,20 @@ def sample_neighbor_sharded(view: ShardView, key, nodes, ets, count,
     S = view.num_shards
     cap = _owner_cap(b, S)
     if cap is not None:
-        buf_row, buf_has, sel_ok = _compact_owned(view, spread, cap)
+        buf_row, buf_has, slot_of, sel_ok = _compact_owned(view, spread,
+                                                           cap)
         cnodes = jnp.where(buf_has, spread[buf_row], -1)
         nbr, w, ty, eid, ok = _sample_neighbor_local(
             view, key, cnodes, ets, count, default_id)
         ok = ok & buf_has[:, None]
-        scat = jnp.where(buf_has, buf_row, spread.shape[0])
-        N = spread.shape[0]
+        # fan the per-slot answers back out to every duplicate spread
+        # row (gather on slot_of); duplicate roots share one draw set
+        sl = jnp.minimum(slot_of, cap - 1)
+        mask = sel_ok[:, None] & ok[sl]
 
         def back(x, fill):
-            return jnp.full((N, count), fill, x.dtype).at[scat].set(
-                jnp.where(ok, x, fill), mode="drop")
+            return jnp.where(mask, x[sl], fill)
 
-        mask = jnp.zeros((N, count), bool).at[scat].set(ok, mode="drop")
         nbr_f = back(nbr, jnp.int32(default_id))
         w_f = back(w, jnp.float32(0))
         ty_f = back(ty, jnp.int32(-1))
@@ -731,18 +732,37 @@ def _owner_cap(b, S):
 
 
 def _compact_owned(view: ShardView, spread_nodes, cap):
-    """(buf_row [cap], buf_has [cap], sel_ok [S*b]) — indices of the
-    first ``cap`` rows this shard owns, via prefix-sum compaction (no
-    sort). ``sel_ok`` marks the spread rows that made it in."""
+    """Dedup + compact the spread rows this shard owns.
+
+    Returns ``(buf_row [cap], buf_has [cap], slot_of [S*b], sel_ok
+    [S*b])``: ``buf_row`` holds one representative spread-row index per
+    DISTINCT owned id (sort + segment-unique), ``slot_of`` maps every
+    spread row to its id's buffer slot (``cap`` when unserved), and
+    ``sel_ok`` marks served rows. Duplicate ids collapse into one slot
+    and fan back out through a gather on ``slot_of`` — so a hub id
+    repeated across the whole spread consumes ONE slot, and buffer
+    overflow needs > ``cap`` DISTINCT owned ids (> OWNER_COMPUTE_SLACK x
+    ownership skew over the uniform id%S split — vanishingly unlikely in
+    the auto-gated regime, vs. routine on power-law frontiers before the
+    dedup). Residual past-cap rows still degrade to explicit invalid
+    padding, never garbage."""
     owned, _ = _own_rows(view, spread_nodes)
-    pos = jnp.cumsum(owned.astype(jnp.int32)) - 1
-    sel_ok = owned & (pos < cap)
-    tgt = jnp.where(sel_ok, pos, cap)
     n = spread_nodes.shape[0]
-    buf_row = jnp.zeros((cap,), jnp.int32).at[tgt].set(
-        jnp.arange(n, dtype=jnp.int32), mode="drop")
+    big = jnp.int32(2 ** 31 - 1)
+    keys = jnp.where(owned, spread_nodes, big)   # non-owned sort to the end
+    order = jnp.argsort(keys)
+    sid = keys[order]
+    own_s = sid != big
+    is_new = own_s & jnp.concatenate(
+        [jnp.ones((1,), bool), sid[1:] != sid[:-1]])
+    slot_s = jnp.cumsum(is_new.astype(jnp.int32)) - 1
+    slot_s = jnp.where(own_s & (slot_s >= 0) & (slot_s < cap), slot_s, cap)
+    slot_of = jnp.full((n,), cap, jnp.int32).at[order].set(slot_s)
+    sel_ok = slot_of < cap
+    tgt = jnp.where(is_new, slot_s, cap)         # slot_s already cap-masked
+    buf_row = jnp.zeros((cap,), jnp.int32).at[tgt].set(order, mode="drop")
     buf_has = jnp.zeros((cap,), bool).at[tgt].set(True, mode="drop")
-    return buf_row, buf_has, sel_ok
+    return buf_row, buf_has, slot_of, sel_ok
 
 
 def sample_neighbor_fast_sharded(view: ShardView, key, nodes, ets, count,
@@ -763,20 +783,17 @@ def sample_neighbor_fast_sharded(view: ShardView, key, nodes, ets, count,
     S = view.num_shards
     cap = _owner_cap(b, S)
     if cap is not None:
-        buf_row, buf_has, sel_ok = _compact_owned(view, spread, cap)
+        buf_row, buf_has, slot_of, sel_ok = _compact_owned(view, spread,
+                                                           cap)
         cnodes = jnp.where(buf_has, spread[buf_row], -1)
         ids_c, ok_c = _fan_draw_local(view, key, cnodes, ets, count,
                                       default_id)
         ok_c = ok_c & buf_has[:, None]
-        scat = jnp.where(buf_has, buf_row, spread.shape[0])
-        ids_full = jnp.full((spread.shape[0], count), default_id,
-                            jnp.int32).at[scat].set(
-            jnp.where(ok_c, ids_c, default_id), mode="drop")
-        ok_full = jnp.zeros((spread.shape[0], count), bool).at[scat].set(
-            ok_c, mode="drop")
-        ids = _route_ids(view, sel_ok[:, None], ids_full, b, default_id)
-        valid = _route_vals(view, sel_ok[:, None],
-                            ok_full.astype(jnp.int32), b) > 0
+        sl = jnp.minimum(slot_of, cap - 1)
+        mask = sel_ok[:, None] & ok_c[sl]
+        ids_full = jnp.where(mask, ids_c[sl], default_id)
+        ids = _route_ids(view, mask, ids_full, b, default_id)
+        valid = _route_vals(view, mask, mask.astype(jnp.int32), b) > 0
         return jnp.where(valid, ids, default_id), valid
 
     owned, _ = _own_rows(view, spread)
@@ -859,17 +876,16 @@ def get_dense_feature_sharded(view: ShardView, nodes, names):
     cap = _owner_cap(b, S)
     out = []
     if cap is not None:
-        buf_row, buf_has, sel_ok = _compact_owned(view, flat_all, cap)
+        buf_row, buf_has, slot_of, sel_ok = _compact_owned(view, flat_all,
+                                                           cap)
         crow = jnp.clip(jnp.maximum(flat_all[buf_row], 0) // S, 0,
                         view.node_type.shape[0] - 1)
-        scat = jnp.where(buf_has, buf_row, flat_all.shape[0])
+        sl = jnp.minimum(slot_of, cap - 1)
         for n in names:
             tab = view.dense_nf[n]
             vc = jnp.where(buf_has[:, None], tab[crow], 0.0)
-            v = jnp.zeros((flat_all.shape[0], tab.shape[-1]),
-                          tab.dtype).at[scat].set(vc, mode="drop")
-            v = _owner_to_mine(view, jnp.where(sel_ok[:, None], v, 0.0),
-                               b)
+            v = jnp.where(sel_ok[:, None], vc[sl], 0.0)
+            v = _owner_to_mine(view, v, b)
             out.append(v.reshape(shape_in + (tab.shape[-1],)))
         return out
     owned, rows = _own_rows(view, flat_all)
@@ -891,17 +907,16 @@ def get_sparse_feature_sharded(view: ShardView, nodes, names):
     cap = _owner_cap(b, S)
     out = []
     if cap is not None:
-        buf_row, buf_has, sel_ok = _compact_owned(view, flat_all, cap)
+        buf_row, buf_has, slot_of, sel_ok = _compact_owned(view, flat_all,
+                                                           cap)
         crow = jnp.clip(jnp.maximum(flat_all[buf_row], 0) // S, 0,
                         view.node_type.shape[0] - 1)
-        scat = jnp.where(buf_has, buf_row, flat_all.shape[0])
+        sl = jnp.minimum(slot_of, cap - 1)
         for n in names:
             tab, _ = view.sparse_nf[n]
             vc = jnp.where(buf_has[:, None], tab[crow] + 1, 0)
-            v = jnp.zeros((flat_all.shape[0], tab.shape[-1]),
-                          tab.dtype).at[scat].set(vc, mode="drop")
-            ids = _owner_to_mine(view, jnp.where(sel_ok[:, None], v, 0),
-                                 b) - 1
+            v = jnp.where(sel_ok[:, None], vc[sl], 0)
+            ids = _owner_to_mine(view, v, b) - 1
             ids = ids.reshape(shape_in + (tab.shape[-1],))
             out.append((ids, ids >= 0))
         return out
@@ -924,15 +939,14 @@ def get_node_type_sharded(view: ShardView, nodes):
     S = view.num_shards
     cap = _owner_cap(b, S)
     if cap is not None:
-        buf_row, buf_has, sel_ok = _compact_owned(view, flat_all, cap)
+        buf_row, buf_has, slot_of, sel_ok = _compact_owned(view, flat_all,
+                                                           cap)
         crow = jnp.clip(jnp.maximum(flat_all[buf_row], 0) // S, 0,
                         view.node_type.shape[0] - 1)
-        scat = jnp.where(buf_has, buf_row, flat_all.shape[0])
+        sl = jnp.minimum(slot_of, cap - 1)
         vc = jnp.where(buf_has, view.node_type[crow] + 1, 0)
-        v = jnp.zeros((flat_all.shape[0],), jnp.int32).at[scat].set(
-            vc, mode="drop")
-        return (_owner_to_mine(view, jnp.where(sel_ok, v, 0), b)
-                - 1).reshape(shape_in)
+        v = jnp.where(sel_ok, vc[sl], 0)
+        return (_owner_to_mine(view, v, b) - 1).reshape(shape_in)
     owned, rows = _own_rows(view, flat_all)
     ty = jnp.where(owned, view.node_type[rows] + 1, 0)
     return (_owner_to_mine(view, ty, b) - 1).reshape(shape_in)

@@ -477,26 +477,66 @@ def test_owner_compute_sampling_parity(toy_graph, sg4, mesh24):
         assert drawn <= out_sets.get(int(nn[i]), set())
 
 
-def test_owner_compute_overflow_degrades_to_padding(toy_graph, sg4,
-                                                    mesh24):
-    """Ownership skew past capacity must yield explicit invalid padding,
-    never garbage ids: all 64 roots = node 0 (one owner) with forced
-    owner-compute -> dropped rows are valid=False / default_id."""
+def test_owner_compute_hub_duplicates_fully_served(toy_graph, sg4,
+                                                   mesh24):
+    """Duplicate-id skew must NOT overflow the owner buffer (r4 advisor
+    medium): a hub id repeated in every query collapses to one slot via
+    the dedup compaction, so all rows are answered — before the dedup
+    this exact shape silently returned valid=False / zero features for
+    most rows."""
     nodes = jnp.zeros((64,), jnp.int32)   # every root owned by shard 0
     et = (toy_graph.meta.edge_types.index("click"),)
 
     def fn(view, nodes, key):
-        return sampling.sample_neighbor_fast(view, key, nodes, et, 4)
+        from euler_tpu.ops import feature_ops
+        ids, valid = sampling.sample_neighbor_fast(view, key, nodes, et, 4)
+        feat = feature_ops.get_dense_feature(view, nodes, ["dense2"])[0]
+        return ids, valid, feat
 
     try:
         sharded.set_owner_compute(True)
-        ids, valid = (np.asarray(x)[:64] for x in _run_sharded(
+        ids, valid, feat = (np.asarray(x)[:64] for x in _run_sharded(
             mesh24, sg4, fn, nodes, jax.random.PRNGKey(4)))
     finally:
         sharded.set_owner_compute(None)
-    # answered rows draw real neighbors of node 0; dropped rows are -1
-    ok_ids = ids[valid]
+    # every duplicate row is served: valid ids drawn from node 0's true
+    # neighbor set, and feature rows match the single-chip answer
+    assert valid.all()
     legal = {int(toy_graph.local_id(d)) for s, d, t, w in fixtures.EDGES
              if t == "click" and s == 100}
-    assert set(ok_ids.tolist()) <= legal
-    assert (ids[~valid] == -1).all()
+    assert set(ids.reshape(-1).tolist()) <= legal
+    from euler_tpu.ops import feature_ops
+    want = np.asarray(feature_ops.get_dense_feature(
+        toy_graph.tensors, nodes, ["dense2"])[0])
+    np.testing.assert_allclose(feat, want, rtol=1e-6)
+
+
+def test_owner_compute_hub_mixed_batch_parity(toy_graph, sg4, mesh24):
+    """The advisor's repro shape: a mixed batch where one hub id fills
+    most rows. With dedup compaction the compact path must equal the
+    exact full-spread path row-for-row on features/validity."""
+    from euler_tpu.ops import feature_ops
+    rng = np.random.default_rng(7)
+    nodes = np.where(rng.random(64) < 0.9, 0,
+                     rng.integers(0, 8, 64)).astype(np.int32)
+    nodes = jnp.asarray(nodes)
+    et = (toy_graph.meta.edge_types.index("click"),)
+
+    def fn(view, nodes, key):
+        ids, valid = sampling.sample_neighbor_fast(view, key, nodes, et, 4)
+        feat = feature_ops.get_dense_feature(view, nodes, ["dense2"])[0]
+        nt = sampling.get_node_type(view, nodes)
+        return ids, valid, feat, nt
+
+    try:
+        sharded.set_owner_compute(False)
+        ref = [np.asarray(x)[:64] for x in _run_sharded(
+            mesh24, sg4, fn, nodes, jax.random.PRNGKey(5))]
+        sharded.set_owner_compute(True)
+        got = [np.asarray(x)[:64] for x in _run_sharded(
+            mesh24, sg4, fn, nodes, jax.random.PRNGKey(5))]
+    finally:
+        sharded.set_owner_compute(None)
+    np.testing.assert_array_equal(got[1], ref[1])        # valid masks
+    np.testing.assert_allclose(got[2], ref[2], rtol=1e-6)  # features
+    np.testing.assert_array_equal(got[3], ref[3])        # node types
