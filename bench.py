@@ -304,7 +304,11 @@ def child():
     net = gnn.GNNNet(conv="sage",
                      flow=flows.SageDataFlow(fanout, [(0,), (0,)]),
                      dims=(128, 128), feature=feat,
-                     dtype=act_dtype if on_tpu else None)
+                     dtype=act_dtype if on_tpu else None,
+                     # unique-before-gather sweep knob (measured negative
+                     # at these shapes; see ops/util_ops.unique_gather)
+                     dedup_features=os.environ.get(
+                         "EULER_BENCH_DEDUP") == "1")
     model = gnn.SuperviseModel(embedder=net, label_name="label",
                                label_dim=n_classes)
     tx = optax.adam(1e-3)

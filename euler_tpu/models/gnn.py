@@ -41,6 +41,12 @@ class GNNNet(nn.Module):
     # set, per-edge views, aggregations — halve their HBM traffic in
     # bfloat16, the TPU-native training dtype). None = full f32.
     dtype: Any = None
+    # unique-before-gather on the deepest block's feature fetch (the
+    # reference optimizer's unique+gather rewrite). Flag-gated OFF: a
+    # measured negative on v5e at bench shapes — see
+    # ops/util_ops.unique_gather; enable for extreme-duplication
+    # frontiers only.
+    dedup_features: bool = False
 
     def _make_conv(self, dim, i):
         cls = convs_lib.get_conv_class(self.conv)
@@ -57,7 +63,12 @@ class GNNNet(nn.Module):
                 "flow with payload=True (fast ids-only sampling carries "
                 "e_id=-1)")
         blocks = self.flow(g, key, roots)
-        x = self.feature(g, blocks[0].n_id)
+        if self.dedup_features:
+            from euler_tpu.ops.util_ops import unique_gather
+            x = unique_gather(lambda ids: self.feature(g, ids),
+                              blocks[0].n_id)
+        else:
+            x = self.feature(g, blocks[0].n_id)
         if self.dtype is not None:
             x = x.astype(self.dtype)
         for i, block in enumerate(blocks):

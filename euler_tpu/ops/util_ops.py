@@ -40,6 +40,37 @@ def inflate_idx(idx: Array) -> Array:
     return start[idx] + occ
 
 
+def unique_gather(fetch_fn, ids: Array) -> Array:
+    """Unique-before-gather combinator: run ``fetch_fn`` (ids -> [S, ...]
+    rows, -1 ids -> zero rows) with duplicate ids replaced by -1, then
+    restore every original position's row with one compact self-gather.
+
+    TPU-native form of the reference optimizer's unique+gather rewrite
+    (euler/parser/optimizer.cc:91-229 + id_unique_op.cc /
+    inflate_idx_op.cc). The reference wins because its fetch is a
+    network RPC priced per row; on this hardware the rewrite is a
+    MEASURED NEGATIVE for the hop-2 feature path (tools/micro/
+    micro_dedup_gather.py, frag_gather.py on v5e): XLA's HBM gather
+    engine runs ~10-12 ns/row regardless of duplication or index
+    locality, the re-inflate self-gather costs as much as the rows
+    saved (~87% of draws are unique at bench shapes), and the argsort
+    adds on top. Kept flag-gated (GNNNet.dedup_features) for frontiers
+    with extreme duplication (deep power-law graphs), where the unique
+    count collapses far enough to flip the balance.
+    """
+    ids = jnp.asarray(ids, jnp.int32)
+    S = ids.shape[0]
+    order = jnp.argsort(ids)
+    sid = ids[order]
+    is_new = jnp.concatenate([jnp.ones((1,), bool), sid[1:] != sid[:-1]])
+    rows = fetch_fn(jnp.where(is_new, sid, -1))    # dup slots fetch pad
+    seg = jnp.cumsum(is_new.astype(jnp.int32)) - 1
+    pos = jnp.arange(S, dtype=jnp.int32)
+    head = jnp.full((S,), S - 1, jnp.int32).at[seg].min(pos)
+    inv = jnp.zeros((S,), jnp.int32).at[order].set(pos)
+    return rows[head[seg][inv]]
+
+
 def sparse_gather(gather_idx: Array, ids: Array, mask: Array
                   ) -> Tuple[Array, Array]:
     """Row-gather on a padded sparse block (ids [N, L], mask [N, L]).

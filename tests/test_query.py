@@ -169,6 +169,51 @@ def test_inflate_idx():
     assert out[3] == 5                                   # value 2 slot
 
 
+def test_unique_gather_matches_direct():
+    """unique_gather (the flag-gated unique-before-gather rewrite) must
+    reproduce the direct fetch row-for-row, including -1 pads and heavy
+    duplication."""
+    rng = np.random.default_rng(0)
+    tab = jnp.asarray(rng.normal(size=(16, 4)).astype(np.float32))
+    ids = jnp.asarray(
+        np.where(rng.random(64) < 0.15, -1,
+                 rng.integers(0, 16, 64)).astype(np.int32))
+
+    def fetch(x):
+        return jnp.where((x >= 0)[:, None], tab[jnp.maximum(x, 0)], 0.0)
+
+    got = np.asarray(util_ops.unique_gather(fetch, ids))
+    np.testing.assert_allclose(got, np.asarray(fetch(ids)), rtol=1e-6)
+    # all-duplicate and all-pad edge shapes
+    for arr in ([3] * 8, [-1] * 8, [7]):
+        a = jnp.asarray(arr, jnp.int32)
+        np.testing.assert_allclose(
+            np.asarray(util_ops.unique_gather(fetch, a)),
+            np.asarray(fetch(a)), rtol=1e-6)
+
+
+def test_gnn_dedup_features_parity(toy_graph):
+    """GNNNet(dedup_features=True) must equal the direct path exactly
+    for the same rngs (same params, same sample draws)."""
+    import jax
+    from euler_tpu.dataflow import flows
+    from euler_tpu.models import encoders, gnn
+    g = toy_graph.tensors
+    feat = encoders.ShallowEncoder(dense_names=("dense2",))
+    kw = dict(conv="sage", flow=flows.SageDataFlow([3, 2], [(0, 1)] * 2),
+              dims=(8, 8), feature=feat)
+    roots = jnp.asarray([0, 3, 5, -1], jnp.int32)
+    rngs = {"params": jax.random.PRNGKey(0),
+            "sample": jax.random.PRNGKey(1)}
+    base = gnn.GNNNet(**kw)
+    dedup = gnn.GNNNet(dedup_features=True, **kw)
+    params = base.init(rngs, g, roots)
+    out_b = base.apply(params, g, roots, rngs={"sample": rngs["sample"]})
+    out_d = dedup.apply(params, g, roots, rngs={"sample": rngs["sample"]})
+    np.testing.assert_allclose(np.asarray(out_b), np.asarray(out_d),
+                               rtol=1e-6)
+
+
 def test_sparse_gather():
     ids = jnp.asarray([[1, 2, -1], [3, -1, -1], [4, 5, 6]])
     mask = ids >= 0
