@@ -200,6 +200,20 @@ def _stage(name):
 
 
 def child():
+    """Measurement child. EULER_BENCH_MODEL picks the workload:
+
+    sage (default) | gat | gin  — sampled 2-hop flow, conv swapped
+      (GAT adds the SDDMM/segment-softmax path of gat_conv.py:41-75,
+      GIN the sum-pool path of gin_conv.py:27-60)
+    rgcn  — sampled flow with payload sampling (true edge types) through
+      the relation-batched einsum (relation_conv.py:33-69)
+    gcn   — full-graph SpMM path (whole_dataflow.py), every edge every
+      layer
+    transe — embedding-bound TransX step (transX.py margin loss, global
+      edge sampling + negative entity draws)
+
+    All modes print the same one-line JSON contract.
+    """
     import dataclasses
 
     _stage("import_jax")
@@ -237,6 +251,13 @@ def child():
     float(probe(jnp.ones((256, 256), jnp.float32)))
     _stage("probe_matmul_done")
 
+    mode = os.environ.get("EULER_BENCH_MODEL", "sage")
+    if mode == "gcn":
+        return _gcn_child(jax, jnp, optax, dev, on_tpu)
+    if mode == "transe":
+        return _transe_child(jax, jnp, optax, dev, on_tpu)
+
+    # ---- sampled modes: sage (default) / gat / gin / rgcn ----
     # scale down on CPU so CI-style runs stay fast; env knobs for sweeps
     n_nodes = int(os.environ.get("EULER_BENCH_NODES",
                                  200_000 if on_tpu else 5_000))
@@ -246,10 +267,13 @@ def child():
     batch = int(os.environ.get("EULER_BENCH_BATCH",
                                1024 if on_tpu else 256))
     fanout = [25, 10]
+    rgcn = mode == "rgcn"
+    n_etypes = 4 if rgcn else 1
 
     def record(edges, seconds, phase):
         v = edges / seconds
         out = {"metric": "sampled_aggregate_edges_per_sec_per_chip",
+               "model": mode,
                "value": round(v, 1), "unit": "edges/s",
                # a CPU number measured on a toy config must never read as
                # a chip result: vs_baseline only on real TPU hardware
@@ -259,8 +283,12 @@ def child():
         print(json.dumps(out), flush=True)
 
     _stage("build_graph")
+    # rgcn: payload sampling reads pre-resolved alias rows (sample_pack);
+    # ids-only modes read the 128-lane fan rows
     graph = random_graph(n_nodes, avg_deg, seed=0, device_put=False,
-                         packs=("group", "fan"))
+                         num_edge_types=n_etypes,
+                         packs=("group", "sample") if rgcn
+                         else ("group", "fan"))
     g = graph.tensors
 
     # declare the feature specs the model reads, synthesize values on device
@@ -287,23 +315,34 @@ def child():
     # minimal tunnel transfer: only the packs the hot path reads cross the
     # wire; jax.jit prunes unused GraphTensors fields
     put = jax.device_put
-    g = g.replace(
+    common = dict(
         meta=meta,
         dense_nf={"feature": feat_dev, "label": lab_dev},
-        fan_pack=put(g.fan_pack),
         group_ptr=put(g.group_ptr),
         adj_dst=put(g.adj_dst),
         adj_prob=put(g.adj_prob),
         adj_alias=put(g.adj_alias),
-        fan_over_rows=put(g.fan_over_rows),
         node_alias=jax.tree.map(put, g.node_alias),
     )
+    if rgcn:
+        g = g.replace(sample_pack=put(g.sample_pack),
+                      group_pack=None if g.group_pack is None
+                      else put(g.group_pack),
+                      group_w_sum=put(g.group_w_sum), **common)
+    else:
+        g = g.replace(fan_pack=put(g.fan_pack),
+                      fan_over_rows=put(g.fan_over_rows), **common)
     _stage("graph_on_device")
 
+    metapath = [tuple(range(n_etypes))] * 2
     feat = encoders.ShallowEncoder(dense_names=("feature",))
-    net = gnn.GNNNet(conv="sage",
-                     flow=flows.SageDataFlow(fanout, [(0,), (0,)]),
+    net = gnn.GNNNet(conv={"rgcn": "relation"}.get(mode, mode),
+                     flow=flows.SageDataFlow(fanout, metapath,
+                                             payload=rgcn),
                      dims=(128, 128), feature=feat,
+                     relation_from_etype=rgcn,
+                     conv_kwargs={"num_relations": n_etypes} if rgcn
+                     else None,
                      dtype=act_dtype if on_tpu else None,
                      # unique-before-gather sweep knob (measured negative
                      # at these shapes; see ops/util_ops.unique_gather)
@@ -342,11 +381,13 @@ def child():
     def run_loop(g, params, opt_state, key):
         # unfreeze the fan reservoir once per loop (the estimator's
         # RunConfig.reservoir_refresh semantics), fused into the same
-        # program — a separate dispatch costs ~0.2s on the tunnel
+        # program — a separate dispatch costs ~0.2s on the tunnel.
+        # (rgcn samples through sample_pack: nothing to refresh)
         kr, key = jax.random.split(key)
-        g = g.replace(fan_pack=sampling.refresh_fan_rows(
-            g.group_ptr, g.adj_dst, g.adj_prob, g.adj_alias, g.fan_pack,
-            kr, g.fan_over_rows))
+        if g.fan_pack is not None:
+            g = g.replace(fan_pack=sampling.refresh_fan_rows(
+                g.group_ptr, g.adj_dst, g.adj_prob, g.adj_alias,
+                g.fan_pack, kr, g.fan_over_rows))
 
         def body(carry, i):
             params, opt_state = carry
@@ -357,7 +398,9 @@ def child():
         (params, opt_state), losses = jax.lax.scan(
             body, (params, opt_state),
             jnp.arange(steps_per_loop, dtype=jnp.int32))
-        return g.fan_pack, params, opt_state, losses[-1]
+        fp = g.fan_pack if g.fan_pack is not None \
+            else jnp.zeros((), jnp.int32)
+        return fp, params, opt_state, losses[-1]
 
     # edges touched per step: hop1 B*f1 + hop2 B*f1*f2, plus self loops
     edges_per_step = batch * fanout[0] + batch * fanout[0] * fanout[1] \
@@ -370,13 +413,17 @@ def child():
     compiled = run_loop.lower(g, params, opt_state,
                               jax.random.PRNGKey(2)).compile()
     _stage("compile_done")
+
+    def upd(g, fp):
+        return g if rgcn else g.replace(fan_pack=fp)
+
     # warmup exec. NB: sync via float(loss) (device->host copy), not
     # block_until_ready — on tunneled device platforms the latter can
     # return before execution finishes, inflating throughput ~100x.
     t0 = time.perf_counter()
     fp, params, opt_state, loss = compiled(g, params, opt_state,
                                            jax.random.PRNGKey(2))
-    g = g.replace(fan_pack=fp)
+    g = upd(g, fp)
     float(loss)
     # even the warmup loop yields a (conservative: includes one dispatch
     # round-trip) salvageable measurement
@@ -386,7 +433,7 @@ def child():
     t0 = time.perf_counter()
     fp, params, opt_state, loss = compiled(g, params, opt_state,
                                            jax.random.PRNGKey(100))
-    g = g.replace(fan_pack=fp)
+    g = upd(g, fp)
     float(loss)
     record(edges_per_step * steps_per_loop, time.perf_counter() - t0,
            "single_loop")
@@ -398,10 +445,214 @@ def child():
     for i in range(outer):
         fp, params, opt_state, loss = compiled(g, params, opt_state,
                                                jax.random.PRNGKey(3 + i))
-        g = g.replace(fan_pack=fp)
+        g = upd(g, fp)
     float(loss)
     record(edges_per_step * steps_per_loop * outer,
            time.perf_counter() - t0, "pipelined")
+
+
+def _measure_loops(jax, record, compiled, args, work_per_loop, on_tpu):
+    """Shared warmup / single / pipelined measurement protocol for modes
+    whose compiled loop is pure (carries no graph state): sync via
+    float() — block_until_ready is unreliable on tunneled devices."""
+    import time as _t
+    t0 = _t.perf_counter()
+    *carry, loss = compiled(*args, jax.random.PRNGKey(2))
+    float(loss)
+    record(work_per_loop, _t.perf_counter() - t0, "warmup")
+    t0 = _t.perf_counter()
+    *carry, loss = compiled(*args, jax.random.PRNGKey(100))
+    float(loss)
+    record(work_per_loop, _t.perf_counter() - t0, "single_loop")
+    outer = 4 if on_tpu else 2
+    t0 = _t.perf_counter()
+    for i in range(outer):
+        *carry, loss = compiled(*args, jax.random.PRNGKey(3 + i))
+    float(loss)
+    record(work_per_loop * outer, _t.perf_counter() - t0, "pipelined")
+
+
+def _gcn_child(jax, jnp, optax, dev, on_tpu):
+    """Full-graph GCN SpMM path: every edge aggregated every layer
+    (reference: examples/gcn via whole_dataflow.py:26-63 sparse_get_adj;
+    the TF path multiplies the full sparse adjacency per layer)."""
+    import dataclasses
+
+    from euler_tpu.dataflow import flows
+    from euler_tpu.datasets.random_graph import random_graph
+    from euler_tpu.graph.meta import FeatureSpec
+    from euler_tpu.models import encoders, gnn
+    from euler_tpu.ops import sampling  # noqa: F401 (parity of imports)
+
+    n_nodes = int(os.environ.get("EULER_BENCH_NODES",
+                                 100_000 if on_tpu else 2_000))
+    avg_deg = 25
+    feat_dim = 128
+    n_classes = 16
+    n_layers = 2
+    act_dtype = jnp.bfloat16 if on_tpu else jnp.float32
+
+    def record(edges, seconds, phase):
+        v = edges / seconds
+        out = {"metric": "fullgraph_spmm_edges_per_sec_per_chip",
+               "model": "gcn",
+               "value": round(v, 1), "unit": "edges/s",
+               "vs_baseline": round(v / 1e8, 4) if on_tpu else None,
+               "platform": dev.platform, "phase": phase,
+               "config": f"full_n{n_nodes}_e{n_nodes*avg_deg}_l{n_layers}"}
+        print(json.dumps(out), flush=True)
+
+    _stage("build_graph")
+    graph = random_graph(n_nodes, avg_deg, seed=0, device_put=False,
+                         packs=())
+    g = graph.tensors
+    meta = dataclasses.replace(
+        g.meta,
+        node_features=(FeatureSpec("feature", "dense", feat_dim),
+                       FeatureSpec("label", "dense", n_classes)))
+
+    @jax.jit
+    def make_features():
+        kf, kl = jax.random.split(jax.random.PRNGKey(42))
+        feat = jax.random.normal(kf, (n_nodes, feat_dim), act_dtype)
+        cls = jax.random.randint(kl, (n_nodes,), 0, n_classes)
+        return feat, jax.nn.one_hot(cls, n_classes, dtype=jnp.float32)
+
+    feat_dev, lab_dev = make_features()
+    put = jax.device_put
+    g = g.replace(meta=meta,
+                  dense_nf={"feature": feat_dev, "label": lab_dev},
+                  adj_src=put(g.adj_src), adj_dst=put(g.adj_dst),
+                  adj_type=put(g.adj_type), adj_eid=put(g.adj_eid),
+                  adj_w=put(g.adj_w))
+    _stage("graph_on_device")
+
+    feat = encoders.ShallowEncoder(dense_names=("feature",))
+    net = gnn.GNNNet(conv="gcn",
+                     flow=flows.WholeDataFlow(n_layers, [(0,)]),
+                     dims=(128, 128), feature=feat,
+                     dtype=act_dtype if on_tpu else None)
+    model = gnn.SuperviseModel(embedder=net, label_name="label",
+                               label_dim=n_classes)
+    tx = optax.adam(1e-3)
+    roots = jnp.arange(n_nodes, dtype=jnp.int32)
+    rngs = {"params": jax.random.PRNGKey(0),
+            "sample": jax.random.PRNGKey(1)}
+    params = jax.jit(model.init)(rngs, g, roots)
+    opt_state = tx.init(params)
+    _stage("params_init_done")
+
+    steps_per_loop = 20 if on_tpu else 2
+
+    def step(g, params, opt_state, key):
+        def loss_fn(p):
+            return model.apply(p, g, roots, rngs={"sample": key})["loss"]
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state2 = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state2, loss
+
+    @jax.jit
+    def run_loop(g, params, opt_state, key):
+        def body(carry, i):
+            p, o = carry
+            p2, o2, loss = step(g, p, o, jax.random.fold_in(key, i))
+            return (p2, o2), loss
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state),
+            jnp.arange(steps_per_loop, dtype=jnp.int32))
+        return params, opt_state, losses[-1]
+
+    # every layer touches all E edges + N self loops
+    edges_per_step = n_layers * (n_nodes * avg_deg + n_nodes)
+    _stage("compile")
+    compiled = run_loop.lower(g, params, opt_state,
+                              jax.random.PRNGKey(2)).compile()
+    _stage("compile_done")
+    _measure_loops(jax, record, compiled, (g, params, opt_state),
+                   edges_per_step * steps_per_loop, on_tpu)
+
+
+def _transe_child(jax, jnp, optax, dev, on_tpu):
+    """Embedding-bound TransX step: global weighted edge sampling +
+    margin ranking over corrupted heads/tails (reference:
+    examples/TransX transX.py:24-130, tf_euler sample_edge)."""
+    from euler_tpu.datasets.random_graph import random_graph
+    from euler_tpu.models import kg
+    from euler_tpu.ops import sampling
+
+    n_nodes = int(os.environ.get("EULER_BENCH_NODES",
+                                 100_000 if on_tpu else 2_000))
+    avg_deg = 25
+    n_rel = 16
+    dim = 100            # FB15k dims of examples/TransX
+    num_negs = 5
+    batch = int(os.environ.get("EULER_BENCH_BATCH",
+                               4096 if on_tpu else 256))
+
+    def record(triples, seconds, phase):
+        v = triples / seconds
+        out = {"metric": "transx_triples_per_sec_per_chip",
+               "model": "transe",
+               "value": round(v, 1), "unit": "triples/s",
+               # BASELINE.json publishes no reference TransX throughput;
+               # no nominal target either — absolute number only
+               "vs_baseline": None,
+               "platform": dev.platform, "phase": phase,
+               "config": f"b{batch}_negs{num_negs}_n{n_nodes}_r{n_rel}"}
+        print(json.dumps(out), flush=True)
+
+    _stage("build_graph")
+    graph = random_graph(n_nodes, avg_deg, seed=0, device_put=False,
+                         num_edge_types=n_rel, packs=())
+    g = graph.tensors
+    put = jax.device_put
+    g = g.replace(adj_src=put(g.adj_src), adj_dst=put(g.adj_dst),
+                  adj_type=put(g.adj_type), adj_eid=put(g.adj_eid),
+                  node_alias=jax.tree.map(put, g.node_alias),
+                  edge_alias=jax.tree.map(put, g.edge_alias))
+    _stage("graph_on_device")
+
+    model = kg.TransE(n_entities=n_nodes, n_relations=n_rel,
+                      ent_dim=dim, rel_dim=dim, num_negs=num_negs)
+    tx = optax.adam(1e-3)
+    batch0 = jnp.zeros((batch, 3), jnp.int32)
+    rngs = {"params": jax.random.PRNGKey(0),
+            "sample": jax.random.PRNGKey(1)}
+    params = jax.jit(model.init)(rngs, g, batch0)
+    opt_state = tx.init(params)
+    _stage("params_init_done")
+
+    steps_per_loop = 50 if on_tpu else 5
+
+    def step(g, params, opt_state, key):
+        kb, ks = jax.random.split(key)
+        src, dst, ty, _eid = sampling.sample_edge(g, kb, batch, -1)
+        triples = jnp.stack([src, dst, ty], axis=1)
+
+        def loss_fn(p):
+            return model.apply(p, g, triples,
+                               rngs={"sample": ks})["loss"]
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state2 = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state2, loss
+
+    @jax.jit
+    def run_loop(g, params, opt_state, key):
+        def body(carry, i):
+            p, o = carry
+            p2, o2, loss = step(g, p, o, jax.random.fold_in(key, i))
+            return (p2, o2), loss
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state),
+            jnp.arange(steps_per_loop, dtype=jnp.int32))
+        return params, opt_state, losses[-1]
+
+    _stage("compile")
+    compiled = run_loop.lower(g, params, opt_state,
+                              jax.random.PRNGKey(2)).compile()
+    _stage("compile_done")
+    _measure_loops(jax, record, compiled, (g, params, opt_state),
+                   batch * steps_per_loop, on_tpu)
 
 
 def _fake_child():

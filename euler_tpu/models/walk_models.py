@@ -35,6 +35,9 @@ class DeepWalk(nn.Module):
     node_type: int = -1
     walk_p: float = 1.0
     walk_q: float = 1.0
+    bias_cap: int = 64        # node2vec window size (see ops/walk)
+    bias_windows: int = 1     # windows of exact p/q coverage; size via
+    # walk.check_bias_cap so cap*windows >= max degree for exactness
     shard_embeddings: bool = False   # partition the [n_nodes, dim]
     # tables over the mesh's graph axis (layers.ShardedEmbedding — the
     # reference's PS-partitioned Embedding); required at papers100M
@@ -57,7 +60,9 @@ class DeepWalk(nn.Module):
                                name="context_emb")
         kw, kn = jax.random.split(self.make_rng("sample"))
         paths = walk.random_walk(g, kw, roots, self.edge_types,
-                                 self.walk_len, self.walk_p, self.walk_q)
+                                 self.walk_len, self.walk_p, self.walk_q,
+                                 bias_cap=self.bias_cap,
+                                 bias_windows=self.bias_windows)
         pairs = walk.gen_pair(paths, self.left_win, self.right_win)
         src = pairs[..., 0].reshape(-1)
         ctx = pairs[..., 1].reshape(-1)

@@ -411,20 +411,26 @@ def _fetch_slots(g: GraphTensors, s: Array, ok: Array, default_id: int):
 
 
 def get_full_neighbor(g: GraphTensors, nodes: Array, edge_types, cap: int,
-                      default_id: int = -1, sorted_by_id: bool = False):
+                      default_id: int = -1, sorted_by_id: bool = False,
+                      offset: int = 0):
     """Padded full neighborhood over the union of edge-type groups.
 
     reference: API_GET_NB_NODE GetFullNeighbor / GetSortedFullNeighbor
     (euler/core/graph/node.h:87-99); the reference returns a SparseTensor,
     here a fixed [B, cap] block + mask (jit-static shape). Neighbors beyond
     ``cap`` are dropped (weight-descending order is NOT applied — use
-    get_top_k_neighbor for that).
+    get_top_k_neighbor for that). ``offset`` starts the window at
+    concatenated-neighborhood position ``offset`` instead of 0, so
+    callers can cover arbitrarily large neighborhoods in cap-sized
+    windows with static shapes (random_walk's chunked-exact node2vec
+    reweighting).
     """
     ets = _as_etypes(g, edge_types)
     if _is_shard_view(g):
         from euler_tpu.parallel import sharded
         return sharded.get_full_neighbor_sharded(g, nodes, ets, cap,
-                                                 default_id, sorted_by_id)
+                                                 default_id, sorted_by_id,
+                                                 offset)
     nodes = jnp.asarray(nodes, jnp.int32)
     B = nodes.shape[0]
     rows = jnp.maximum(nodes, 0)
@@ -435,7 +441,7 @@ def get_full_neighbor(g: GraphTensors, nodes: Array, edge_types, cap: int,
         [jnp.zeros((B, 1), deg.dtype), jnp.cumsum(deg, axis=1)], axis=1)
     total = offs[:, -1]
 
-    j = jnp.arange(cap, dtype=jnp.int32)                      # [cap]
+    j = offset + jnp.arange(cap, dtype=jnp.int32)             # [cap]
     # group k owns positions [offs[k], offs[k+1])
     k_idx = jnp.sum(j[None, :, None] >= offs[:, None, 1:], axis=-1)
     k_idx = jnp.minimum(k_idx, len(ets) - 1)

@@ -62,7 +62,7 @@ def _is_neighbor(g: GraphTensors, src: Array, etypes, cand: Array) -> Array:
 def random_walk(g: GraphTensors, key, nodes: Array, edge_types,
                 walk_len: int, p: float = 1.0, q: float = 1.0,
                 default_id: int = -1, exact: bool = True,
-                bias_cap: int = 64) -> Array:
+                bias_cap: int = 64, bias_windows: int = 1) -> Array:
     """Walk ``walk_len`` steps from each node; returns [B, walk_len+1].
 
     ``edge_types`` is a tuple of edge-type ids/names used for every step, or
@@ -71,13 +71,20 @@ def random_walk(g: GraphTensors, key, nodes: Array, edge_types,
     ``default_id`` from that step on (random_walk_op.cc default_node).
 
     Biased (node2vec) steps: with ``exact=True`` (default) each step
-    reweights the FULL neighborhood (capped at ``bias_cap``) by the p/q
-    factor and draws via Gumbel-max — the reference's exact per-step
-    BuildWeights semantics (random_walk_op.cc:113-140); nodes with degree
-    beyond ``bias_cap`` truncate. ``exact=False`` uses O(1) rejection
-    sampling with forced acceptance after 8 tries, which skews toward the
-    unbiased proposal for walkers with low acceptance probability
-    (quantified in tests/test_walk.py).
+    reweights the neighborhood by the p/q factor and draws via
+    Gumbel-max — the reference's exact per-step BuildWeights semantics
+    (random_walk_op.cc:113-140). The reweighting covers the first
+    ``bias_cap * bias_windows`` neighbors, streamed in ``bias_windows``
+    cap-sized windows with a running Gumbel-argmax (shapes stay static;
+    Gumbel noise is drawn fresh per window, so the windowed maximum is
+    distributed exactly like one draw over the concatenation): size
+    ``bias_windows`` to the graph's max degree for full exactness —
+    :func:`check_bias_cap` reports host-side whether the cap binds and
+    how many windows exactness needs. Degrees beyond the covered span
+    truncate (deviation quantified in tests/test_walk.py).
+    ``exact=False`` uses O(1) rejection sampling with forced acceptance
+    after 8 tries, which skews toward the unbiased proposal for walkers
+    with low acceptance probability (quantified in tests/test_walk.py).
     """
     nodes = jnp.asarray(nodes, jnp.int32).reshape(-1)
     if edge_types and isinstance(edge_types, (list,)) and \
@@ -102,31 +109,39 @@ def random_walk(g: GraphTensors, key, nodes: Array, edge_types,
             nbr, _, _, _ = sample_neighbor(g, sub, cur, ets, 1, default_id)
             nxt = nbr[:, 0]
         elif exact:
-            # exact per-step reweighting over the (capped) neighborhood:
+            # exact per-step reweighting over the neighborhood, streamed
+            # in bias_cap-sized windows with a running Gumbel-argmax:
             # m(c) = 1/p if c==prev, 1 if c in N(prev), 1/q otherwise;
             # draw ~ w*m via Gumbel-max (BuildWeights semantics)
             from euler_tpu.ops.sampling import get_full_neighbor
-            nbr, w, _, _, ok = get_full_neighbor(g, cur, ets, bias_cap,
-                                                 default_id)
-            prev_b = jnp.broadcast_to(prev[:, None], nbr.shape)
-            is_prev = (nbr == prev_b) & (prev >= 0)[:, None]
-            in_pn = _is_neighbor(g, jnp.maximum(prev_b, 0), ets,
-                                 nbr).reshape(nbr.shape) & \
-                (prev >= 0)[:, None]
-            m = jnp.where(is_prev, 1.0 / p,
-                          jnp.where(in_pn, 1.0, 1.0 / q))
-            m = jnp.where(prev[:, None] >= 0, m, 1.0)
-            score = jnp.where(ok & (w > 0), jnp.log(jnp.maximum(w, 1e-30))
-                              + jnp.log(m), -jnp.inf)
-            gmb = -jnp.log(-jnp.log(jax.random.uniform(
-                sub, nbr.shape, minval=1e-20, maxval=1.0)))
-            pick = jnp.argmax(score + gmb, axis=1)
-            any_ok = jnp.isfinite(
-                jnp.max(score, axis=1, initial=-jnp.inf))
-            nxt = jnp.where(any_ok,
-                            jnp.take_along_axis(nbr, pick[:, None],
-                                                axis=1)[:, 0],
-                            default_id)
+            best = jnp.full((B,), -jnp.inf)
+            nxt = jnp.full((B,), default_id, jnp.int32)
+            for win in range(bias_windows):
+                nbr, w, _, _, ok = get_full_neighbor(
+                    g, cur, ets, bias_cap, default_id,
+                    offset=win * bias_cap)
+                prev_b = jnp.broadcast_to(prev[:, None], nbr.shape)
+                is_prev = (nbr == prev_b) & (prev >= 0)[:, None]
+                in_pn = _is_neighbor(g, jnp.maximum(prev_b, 0), ets,
+                                     nbr).reshape(nbr.shape) & \
+                    (prev >= 0)[:, None]
+                m = jnp.where(is_prev, 1.0 / p,
+                              jnp.where(in_pn, 1.0, 1.0 / q))
+                m = jnp.where(prev[:, None] >= 0, m, 1.0)
+                score = jnp.where(ok & (w > 0),
+                                  jnp.log(jnp.maximum(w, 1e-30))
+                                  + jnp.log(m), -jnp.inf)
+                gmb = -jnp.log(-jnp.log(jax.random.uniform(
+                    jax.random.fold_in(sub, win), nbr.shape,
+                    minval=1e-20, maxval=1.0)))
+                sc = jnp.where(jnp.isfinite(score), score + gmb, -jnp.inf)
+                pick = jnp.argmax(sc, axis=1)
+                val = jnp.max(sc, axis=1, initial=-jnp.inf)
+                better = val > best
+                nxt = jnp.where(better,
+                                jnp.take_along_axis(nbr, pick[:, None],
+                                                    axis=1)[:, 0], nxt)
+                best = jnp.maximum(best, val)
         else:
             # rejection sampling: candidate ~ w; accept w.p. m(c)/max_m,
             # m(c) = 1/p if c==prev, 1 if c in N(prev), 1/q otherwise.
@@ -153,6 +168,41 @@ def random_walk(g: GraphTensors, key, nodes: Array, edge_types,
         out.append(nxt)
         prev, cur = cur, nxt
     return jnp.stack(out, axis=1)
+
+
+def check_bias_cap(graph_or_tensors, edge_types, bias_cap: int = 64,
+                   bias_windows: int = 1, warn: bool = True):
+    """Host-side exactness check for node2vec's windowed reweighting.
+
+    Returns ``(max_union_degree, windows_needed, n_truncated_nodes)``
+    over the union of ``edge_types`` groups, computed from the CSR
+    pointers with numpy (cannot run under jit — call it at model/
+    estimator setup). With ``warn=True`` emits a warning when
+    ``bias_cap * bias_windows`` truncates any node, naming the
+    ``bias_windows`` value that makes the walk exact (the runtime
+    counterpart of the reference's always-exact host-side BuildWeights,
+    random_walk_op.cc:113-140).
+    """
+    import numpy as np
+    g = getattr(graph_or_tensors, "tensors", graph_or_tensors)
+    ets = _as_etypes(g, edge_types)
+    gp = np.asarray(g.group_ptr)
+    ET = g.meta.num_edge_types
+    deg = (gp[1:] - gp[:-1]).reshape(-1, ET)        # [N, ET]
+    union = deg[:, list(ets)].sum(axis=1)
+    max_deg = int(union.max(initial=0))
+    span = bias_cap * bias_windows
+    n_trunc = int((union > span).sum())
+    need = max(1, -(-max_deg // bias_cap))
+    if warn and n_trunc:
+        import warnings
+        warnings.warn(
+            f"node2vec bias reweighting covers {span} neighbors but "
+            f"{n_trunc} node(s) have union degree up to {max_deg}; the "
+            f"walk distribution deviates there. Pass bias_windows="
+            f"{need} (with bias_cap={bias_cap}) for exactness.",
+            stacklevel=2)
+    return max_deg, need, n_trunc
 
 
 def gen_pair(paths: Array, left_win_size: int, right_win_size: int) -> Array:

@@ -1044,9 +1044,12 @@ def sample_edge_sharded(view: ShardView, key, count, edge_type=-1):
 
 
 def get_full_neighbor_sharded(view: ShardView, nodes, ets, cap,
-                              default_id=-1, sorted_by_id=False):
+                              default_id=-1, sorted_by_id=False,
+                              offset=0):
     """Sharded GetFullNeighbor: spread roots, owner answers from its local
     CSR, psum-merge (reference: GET_NB_NODE split/merge, optimizer.h:49-86).
+    ``offset`` windows the concatenated neighborhood like the single-chip
+    verb.
     """
     nodes = jnp.asarray(nodes, jnp.int32)
     b = nodes.shape[0]
@@ -1062,7 +1065,7 @@ def get_full_neighbor_sharded(view: ShardView, nodes, ets, cap,
     offs = jnp.concatenate(
         [jnp.zeros((B, 1), deg.dtype), jnp.cumsum(deg, axis=1)], axis=1)
     total = offs[:, -1]
-    j = jnp.arange(cap, dtype=jnp.int32)
+    j = offset + jnp.arange(cap, dtype=jnp.int32)
     k_idx = jnp.sum(j[None, :, None] >= offs[:, None, 1:], axis=-1)
     k_idx = jnp.minimum(k_idx, len(ets) - 1)
     base = jnp.take_along_axis(lo, k_idx, axis=1)

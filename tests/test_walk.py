@@ -151,3 +151,27 @@ def test_random_walk_exact_beyond_bias_cap(tmp_path):
     freq = np.bincount(exts, minlength=cap + 1)[1:cap + 1] / len(exts)
     w = np.arange(1, cap + 1, dtype=np.float64)
     np.testing.assert_allclose(freq, w / w.sum(), atol=0.01)
+
+    # chunked-exact (VERDICT r4 #6): bias_windows=2 covers the full
+    # degree-2*cap hub, so the walk matches the reference's BuildWeights
+    # distribution over EVERY neighbor — no truncation
+    paths2 = np.asarray(walk.random_walk(
+        g, jax.random.PRNGKey(5), start, (0,), 2, p=0.5, q=2.0,
+        exact=True, bias_cap=cap, bias_windows=2))
+    exts2 = graph.ext_ids[np.maximum(paths2[:, 2], 0)]
+    assert exts2.max() == deg                   # tail now reachable
+    freq2 = np.bincount(exts2, minlength=deg + 1)[1:] / len(exts2)
+    w2 = np.arange(1, deg + 1, dtype=np.float64)
+    np.testing.assert_allclose(freq2, w2 / w2.sum(), atol=0.01)
+
+    # host-side cap check names the exact windows_needed and warns
+    import warnings as _w
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        max_deg, need, n_trunc = walk.check_bias_cap(graph, (0,), cap, 1)
+    assert (max_deg, need, n_trunc) == (deg, 2, 1)
+    assert rec and "bias_windows=2" in str(rec[0].message)
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        assert walk.check_bias_cap(graph, (0,), cap, 2)[2] == 0
+    assert not rec
