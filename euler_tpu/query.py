@@ -89,6 +89,35 @@ _UDFS = {
 }
 
 
+def register_udf(name: str, fn) -> None:
+    """Register a user UDF under ``name`` for use in ``values``.
+
+    ``fn(x, *params) -> array`` receives the gathered [B, dim] dense
+    feature block of the frontier and must be jax-traceable (it runs
+    inside the compiled query program, single-chip or under the mesh).
+    Parameterized UDFs receive the extra args given to :func:`udf` —
+    the registry + parameterized-UDF surface of the reference's UDF
+    framework (euler/core/framework/udf.h:33,43 RegisterUdf /
+    ValuesUdf::Compute with norm params).
+    """
+    if not callable(fn):
+        raise TypeError("udf must be callable")
+    _UDFS[name] = fn
+
+
+def udf(name_or_fn, feature: str, *params):
+    """``values`` wrapper for a registered or inline UDF.
+
+    ``udf("my_norm", "feature", 2.0)`` looks up a :func:`register_udf`
+    entry; ``udf(lambda x: x.sum(-1, keepdims=True), "feature")`` runs
+    the callable directly. Extra ``params`` are passed through to the
+    UDF after the feature block (udf.h parameterized UDFs).
+    """
+    if not (callable(name_or_fn) or name_or_fn in _UDFS):
+        raise KeyError(f"unknown udf {name_or_fn!r}; register_udf first")
+    return (name_or_fn, feature) + tuple(params)
+
+
 class Query:
     """Chainable query plan over a device-resident graph.
 
@@ -285,9 +314,16 @@ class Query:
             outs = []
             for n in names:
                 if isinstance(n, tuple):          # udf
-                    fn = _UDFS[n[0]]
-                    (x,) = feature_ops.get_dense_feature(g, cur, (n[1],))
-                    outs.append(fn(x))
+                    fn = n[0] if callable(n[0]) else _UDFS[n[0]]
+                    # per-query fetch cache: repeated UDFs over the same
+                    # feature on the same frontier share one gather
+                    # (reference: the per-query UdfCache, udf.h:43)
+                    cache = st.setdefault("_udf_cache", {})
+                    ck = (id(f), n[1])
+                    if ck not in cache:
+                        cache[ck], = feature_ops.get_dense_feature(
+                            g, cur, (n[1],))
+                    outs.append(fn(cache[ck], *n[2:]))
                 elif n in g.dense_nf:
                     outs.append(
                         feature_ops.get_dense_feature(g, cur, (n,))[0])

@@ -223,6 +223,66 @@ def test_sparse_gather():
     assert not np.asarray(m[2]).any()
 
 
+def test_registered_and_parameterized_udfs(toy_graph):
+    """User-registered, parameterized, and inline-callable UDFs run
+    through Query.run (reference UDF framework: udf.h:33,43 registry +
+    parameterized Compute)."""
+    from euler_tpu.query import Query, register_udf, udf
+
+    g = toy_graph.tensors
+    ids = jnp.asarray([0, 3, 5], jnp.int32)
+    register_udf("test_pnorm", lambda x, p: jnp.sum(
+        jnp.abs(x) ** p, axis=-1, keepdims=True) ** (1.0 / p))
+
+    out = (Query(g).v(ids)
+           .values(udf("test_pnorm", "dense2", 2.0)).alias("norm2")
+           .values(udf(lambda x: x * 10.0, "dense2")).alias("x10")
+           ).run(jax.random.PRNGKey(0))
+    from euler_tpu.ops import feature_ops
+    base = np.asarray(feature_ops.get_dense_feature(g, ids, ["dense2"])[0])
+    np.testing.assert_allclose(np.asarray(out["norm2"]).reshape(-1),
+                               np.linalg.norm(base, axis=-1), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(out["x10"]), base * 10.0,
+                               rtol=1e-6)
+    # unknown name rejected at build time
+    import pytest
+    with pytest.raises(KeyError):
+        udf("never_registered", "dense2")
+
+
+def test_registered_udf_under_mesh(toy_graph):
+    """A registered UDF compiles inside shard_map (sharded feature
+    gather feeds the same traced callable)."""
+    from jax.sharding import PartitionSpec as P
+
+    from euler_tpu.parallel import mesh as mesh_lib, sharded
+    from euler_tpu.query import Query, register_udf, udf
+
+    register_udf("test_rowsum", lambda x: jnp.sum(x, axis=-1,
+                                                  keepdims=True))
+    g = toy_graph.tensors
+    ids = jnp.asarray([0, 3, 5, 7], jnp.int32)
+    want = np.asarray((Query(g).v(ids)
+                       .values(udf("test_rowsum", "dense2"))
+                       ).run(jax.random.PRNGKey(0))["_value"])
+
+    sg = sharded.build_sharded(toy_graph, 4)
+    mesh = mesh_lib.make_mesh(data=2, graph=4)
+    gspecs = sharded.shard_specs(sg)
+
+    def body(sgb, key):
+        view = sharded.to_view(sgb, "graph")
+        return (Query(view).v(ids)
+                .values(udf("test_rowsum", "dense2"))
+                ).run(key, jit=False)["_value"]
+
+    with mesh:
+        got = jax.jit(jax.shard_map(
+            body, mesh=mesh, in_specs=(gspecs, P()), out_specs=P(),
+            check_vma=False))(sg, jax.random.PRNGKey(0))
+    np.testing.assert_allclose(np.asarray(got)[:4], want, rtol=1e-5)
+
+
 def test_query_chain_under_mesh(toy_graph):
     """The compiled query plan runs unchanged inside shard_map: the
     verbs dispatch to their sharded implementations, replacing the
