@@ -96,3 +96,60 @@ def test_solution_kit(sbm):
     cos = solution.CosineLogits()
     c = cos.apply({}, emb, emb)
     np.testing.assert_allclose(np.asarray(c), 1.0, rtol=1e-5)
+
+def test_group_gnn_independent_towers(sbm):
+    """GroupGNNNet: one independent GNN per root group with separate
+    parameters (reference: group_gnn.py:29-37)."""
+    from euler_tpu.models.group_gnn import GroupGNNNet
+    ds, graph = sbm
+    g = graph.tensors
+    net1, et = _embedder(ds, graph)
+    net2, _ = _embedder(ds, graph)
+    group = GroupGNNNet(gnns=(net1, net2))
+    roots = jnp.asarray([0, 1, 2, 3], jnp.int32)
+    rngs = {"params": jax.random.PRNGKey(0),
+            "sample": jax.random.PRNGKey(1)}
+    params = group.init(rngs, g, [roots, roots])
+    outs = group.apply(params, g, [roots, roots],
+                       rngs={"sample": jax.random.PRNGKey(1)})
+    assert len(outs) == 2 and outs[0].shape == (4, 16)
+    # towers are separate parameter sets -> same roots, different output
+    assert not np.allclose(np.asarray(outs[0]), np.asarray(outs[1]))
+    with pytest.raises(ValueError):
+        group.apply(params, g, [roots],
+                    rngs={"sample": jax.random.PRNGKey(1)})
+
+
+def test_shared_group_gnn_shares_convs(sbm):
+    """SharedGroupGNNNet: ONE conv stack + output fc across groups,
+    per-group dataflows; whole flows rejected
+    (reference: group_gnn.py:40-108)."""
+    from euler_tpu.models.group_gnn import SharedGroupGNNNet
+    ds, graph = sbm
+    g = graph.tensors
+    et = graph.meta.edge_types.index("link")
+    feat = encoders.ShallowEncoder(dense_names=(ds.feature_idx,))
+    net = SharedGroupGNNNet(
+        conv="sage",
+        group_flows=(flows.SageDataFlow([4], [(et,)]),
+                     flows.SageDataFlow([2, 2], [(et,), (et,)])),
+        dims=(16, 16, 8), feature=feat)
+    roots = jnp.asarray([0, 1, 2], jnp.int32)
+    rngs = {"params": jax.random.PRNGKey(0),
+            "sample": jax.random.PRNGKey(1)}
+    params = net.init(rngs, g, [roots, roots])
+    names = set(params["params"].keys())
+    # one shared conv stack (dims[:-1]) + one shared fc, no per-group
+    # duplicates (the 1-hop group simply uses the stack's prefix, the
+    # reference's zip-truncation semantics)
+    assert {"conv_0", "conv_1", "out_fc"} <= names
+    assert not any(n.startswith("conv_2") for n in names)
+    outs = net.apply(params, g, [roots, roots],
+                     rngs={"sample": jax.random.PRNGKey(2)})
+    assert [o.shape for o in outs] == [(3, 8), (3, 8)]
+
+    whole = SharedGroupGNNNet(
+        conv="sage", group_flows=(flows.WholeDataFlow(1, [(et,)]),),
+        dims=(16, 16, 8), feature=feat)
+    with pytest.raises(ValueError):
+        whole.init(rngs, g, [roots])
