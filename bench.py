@@ -502,9 +502,14 @@ def _gcn_child(jax, jnp, optax, dev, on_tpu):
                "config": f"full_n{n_nodes}_e{n_nodes*avg_deg}_l{n_layers}"}
         print(json.dumps(out), flush=True)
 
+    # ELL fast path (default): build-time regular layout + transpose
+    # table — aggregation by reshape+reduce, backward by transpose
+    # gather, zero scatters (micro_spmm.py). EULER_BENCH_GCN_ELL=0
+    # reverts to the edge-list block + segment-scatter path.
+    use_ell = os.environ.get("EULER_BENCH_GCN_ELL", "1") == "1"
     _stage("build_graph")
     graph = random_graph(n_nodes, avg_deg, seed=0, device_put=False,
-                         packs=())
+                         packs=("ell",) if use_ell else ())
     g = graph.tensors
     meta = dataclasses.replace(
         g.meta,
@@ -520,16 +525,24 @@ def _gcn_child(jax, jnp, optax, dev, on_tpu):
 
     feat_dev, lab_dev = make_features()
     put = jax.device_put
+    extra = {}
+    if use_ell and g.ell_nbr is not None:
+        extra = dict(ell_nbr=put(g.ell_nbr), ell_w=put(g.ell_w),
+                     ell_eid=put(g.ell_eid), ell_ty=put(g.ell_ty),
+                     ell_tpos=put(g.ell_tpos),
+                     ell_in_deg=put(g.ell_in_deg))
     g = g.replace(meta=meta,
                   dense_nf={"feature": feat_dev, "label": lab_dev},
                   adj_src=put(g.adj_src), adj_dst=put(g.adj_dst),
                   adj_type=put(g.adj_type), adj_eid=put(g.adj_eid),
-                  adj_w=put(g.adj_w))
+                  adj_w=put(g.adj_w), group_ptr=put(g.group_ptr),
+                  **extra)
     _stage("graph_on_device")
 
+    flow = flows.WholeDataFlow(
+        n_layers, [(0,)], layout="auto" if use_ell else "edge_list")
     feat = encoders.ShallowEncoder(dense_names=("feature",))
-    net = gnn.GNNNet(conv="gcn",
-                     flow=flows.WholeDataFlow(n_layers, [(0,)]),
+    net = gnn.GNNNet(conv="gcn", flow=flow,
                      dims=(128, 128), feature=feat,
                      dtype=act_dtype if on_tpu else None)
     model = gnn.SuperviseModel(embedder=net, label_name="label",

@@ -53,6 +53,19 @@ class Block:
     # verb that produced the block so relation lookups (RGCN) need no
     # eid->type resolution (which all-gathers across shards under a mesh)
     e_type: Optional[Array] = None
+    # true source-side degrees [size[1]] for sym-norm convs. In regular
+    # (ELL) whole-graph blocks every source SLOT is a copy of a node, so
+    # the per-slot count scatter_src_add computes (=1) is not the node's
+    # degree; flows that duplicate sources provide the per-node values
+    # here (WholeDataFlow(cap=...)).
+    src_deg: Optional[Array] = None
+    # transpose-position table [N, C_in] of the whole-graph ELL layout
+    # (store.GraphTensors.ell_tpos): lets GNNNet expand a [N, D] layer
+    # output into this block's source set with a SCATTER-FREE backward
+    # (ell_expand below) — the vjp of a plain x[n_id] gather is an
+    # unsorted segment-scatter, 2-5x the cost of the reads it moves
+    # (tools/micro/micro_spmm.py)
+    ell_tpos: Optional[Array] = None
 
     # ---- index-free message passing over the block ------------------
     # Generic (irregular) blocks fall back to mp_ops gather/scatter; the
@@ -236,6 +249,38 @@ class Block:
         else:
             head = jnp.zeros((T,) + updates.shape[1:], updates.dtype)
         return jnp.concatenate([head, sampled], axis=0)
+
+
+import jax
+
+
+@jax.custom_vjp
+def ell_expand(x: Array, n_id: Array, tpos: Array) -> Array:
+    """Expand a per-node [N, D] table into a whole-graph ELL block's
+    source set ``concat(x, x[nbr_flat])`` (``n_id = concat(arange(N),
+    nbr_flat)``), with the TRANSPOSE adjacency driving the backward:
+
+      grad_x[u] = g[u] + sum_{c} g[N + tpos[u, c]]
+
+    — a gather over the precomputed transpose positions instead of the
+    unsorted scatter jax's native gather-vjp emits. Exact: tpos lists
+    every flat cell that reads u (pad -1 contributes 0)."""
+    return jnp.where((n_id >= 0)[:, None], x[jnp.maximum(n_id, 0)], 0)
+
+
+def _ell_expand_fwd(x, n_id, tpos):
+    return ell_expand(x, n_id, tpos), (n_id, tpos, x.shape[0])
+
+
+def _ell_expand_bwd(res, g):
+    n_id, tpos, N = res
+    g_nbr = g[N:]                                       # [N*C, D]
+    rows = g_nbr[jnp.maximum(tpos, 0)]                  # [N, C_in, D]
+    rows = jnp.where((tpos >= 0)[..., None], rows, 0)
+    return (g[:N] + rows.sum(axis=1).astype(g.dtype), None, None)
+
+
+ell_expand.defvjp(_ell_expand_fwd, _ell_expand_bwd)
 
 
 def fanout_block(targets: Array, sampled: Array, weights: Array,

@@ -159,6 +159,22 @@ class GraphTensors:
     # refresh_fan_pack must redraw (ops/sampling.refresh_fan_rows)
     fan_over_rows: Optional[jnp.ndarray] = None  # int32 [K]
 
+    # whole-graph ELL pack: every node's neighborhood (union of types,
+    # node's CSR slots are contiguous) laid out as regular [N, C] rows so
+    # full-graph propagation aggregates by reshape+reduce instead of
+    # XLA's serialized segment-scatter (tools/micro/micro_spmm.py:
+    # sorted segment_sum = 10.6 ns/edge vs reshape-reduce ~streaming).
+    # ell_tpos holds, per node u, the flat block-edge positions (t*C+c)
+    # of the cells that READ u — the transpose adjacency — so the
+    # backward of the per-layer source gather is another gather
+    # (dataflow/block.ell_expand), never a scatter.
+    ell_nbr: Optional[jnp.ndarray] = None      # int32 [N, C] (-1 pad)
+    ell_w: Optional[jnp.ndarray] = None        # f32   [N, C]
+    ell_eid: Optional[jnp.ndarray] = None      # int32 [N, C]
+    ell_ty: Optional[jnp.ndarray] = None       # int32 [N, C]
+    ell_tpos: Optional[jnp.ndarray] = None     # int32 [N, C_in] (-1 pad)
+    ell_in_deg: Optional[jnp.ndarray] = None   # f32   [N, ET]
+
     # edge type per ORIGINAL edge row (adj_type is CSR-slot-ordered; eids
     # returned by the sampling verbs are original rows — RGCN relation
     # lookup must go through this table, ops/feature_ops.get_edge_type)
@@ -174,6 +190,48 @@ class GraphTensors:
     @property
     def n_edges(self) -> int:
         return self.adj_dst.shape[0]
+
+
+def _ell_pack_np(n, net, group_ptr, adj_dst, adj_w, adj_eid, adj_type):
+    """Build the whole-graph ELL pack (see GraphTensors.ell_* docs).
+
+    Returns None (pack skipped) when padding would explode: ELL rows are
+    max-degree wide, so a power-law hub would inflate [N, C] far past
+    the CSR's footprint. Gate: C and C_in each <= max(64, 4 * avg_deg).
+    """
+    E = len(adj_dst)
+    node_lo = group_ptr[np.arange(n) * net]
+    node_hi = group_ptr[np.arange(n) * net + net]
+    row_deg = (node_hi - node_lo).astype(np.int64)
+    in_deg = np.bincount(adj_dst, minlength=n).astype(np.int64)
+    C = int(row_deg.max(initial=0))
+    C_in = int(in_deg.max(initial=0))
+    cap = max(64, 4 * max(1, E // max(n, 1)))
+    if C > cap or C_in > cap or n * C >= 2 ** 31:
+        return None
+    rows = np.repeat(np.arange(n, dtype=np.int64), row_deg)
+    pos = np.arange(E, dtype=np.int64) - np.repeat(node_lo, row_deg)
+    nbr = np.full((n, C), -1, np.int32)
+    w = np.zeros((n, C), np.float32)
+    eid = np.full((n, C), -1, np.int32)
+    ty = np.full((n, C), -1, np.int32)
+    nbr[rows, pos] = adj_dst
+    w[rows, pos] = adj_w
+    eid[rows, pos] = adj_eid
+    ty[rows, pos] = adj_type
+    # transpose positions: for node u, the flat cells (row*C + pos) that
+    # read u — sorted stable by u so each u's slots pack left
+    p = (rows * C + pos).astype(np.int64)
+    order = np.argsort(adj_dst, kind="stable")
+    u_sorted = adj_dst[order]
+    start = np.concatenate([[0], np.cumsum(in_deg)[:-1]])
+    pos_in_u = np.arange(E, dtype=np.int64) - np.repeat(start, in_deg)
+    tpos = np.full((n, C_in), -1, np.int64)
+    tpos[u_sorted, pos_in_u] = p[order]
+    ell_in_deg = np.zeros((n, net), np.float32)
+    np.add.at(ell_in_deg, (adj_dst, adj_type), 1.0)
+    return dict(ell_nbr=nbr, ell_w=w, ell_eid=eid, ell_ty=ty,
+                ell_tpos=tpos.astype(np.int32), ell_in_deg=ell_in_deg)
 
 
 def _load_parts(path: str):
@@ -210,7 +268,7 @@ class Graph:
     """
 
     #: all hot-path packs (see GraphTensors docstrings)
-    ALL_PACKS = ("group", "adj", "sample", "fan")
+    ALL_PACKS = ("group", "adj", "sample", "fan", "ell")
 
     def __init__(self, meta: GraphMeta, arrays: Dict[str, np.ndarray],
                  device_put: bool = True,
@@ -358,6 +416,11 @@ class Graph:
                 group_w_sum.reshape(-1)))
             pack_fields["fan_over_rows"] = put(np.nonzero(
                 np.diff(group_ptr) > FAN_D)[0].astype(np.int32))
+        if "ell" in packs and n and len(adj_dst):
+            ell = _ell_pack_np(n, net, group_ptr, adj_dst, adj_w,
+                               adj_eid, adj_type)
+            if ell is not None:          # degree-gated (see _ell_pack_np)
+                pack_fields.update({k: put(v) for k, v in ell.items()})
 
         self.tensors = GraphTensors(
             meta=meta,

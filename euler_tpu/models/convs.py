@@ -33,7 +33,12 @@ def _deg_inv_sqrt(block: Block):
     (reference: gcn_conv.py:38-46 norm)."""
     ew = jnp.ones((block.edge_index.shape[1], 1), jnp.float32)
     deg_t = block.scatter("add", ew, block.mask)
-    deg_s = block.scatter_src_add(ew, block.mask)
+    if block.src_deg is not None:
+        # source slots are node copies (ELL whole-graph layout): use the
+        # flow-provided per-node degrees, not per-slot counts
+        deg_s = block.src_deg[:, None].astype(jnp.float32)
+    else:
+        deg_s = block.scatter_src_add(ew, block.mask)
     return tuple(jnp.where(d > 0, d, 1.0) ** -0.5 for d in (deg_t, deg_s))
 
 

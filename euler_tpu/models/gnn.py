@@ -73,6 +73,17 @@ class GNNNet(nn.Module):
             x = x.astype(self.dtype)
         for i, block in enumerate(blocks):
             conv = self._make_conv(self.dims[i], i)
+            if x.shape[0] == block.size[0] != block.size[1]:
+                # whole-graph ELL block (WholeDataFlow cap/pack): x is
+                # the per-node [N, D] table; rebuild this layer's source
+                # set with one row gather — scatter-free backward when
+                # the transpose table is available
+                if block.ell_tpos is not None:
+                    from euler_tpu.dataflow.block import ell_expand
+                    x = ell_expand(x, block.n_id, block.ell_tpos)
+                else:
+                    x = jnp.where((block.n_id >= 0)[:, None],
+                                  x[jnp.maximum(block.n_id, 0)], 0)
             x_tgt = x[: block.size[0]]
             if self.relation_from_etype:
                 # prefer the types the sampling verb already returned with
@@ -115,6 +126,13 @@ class JKGNNNet(nn.Module):
         for i, block in enumerate(blocks):
             conv = cls(dim=self.dims[i], name=f"conv_{i}",
                        **(self.conv_kwargs or {}))
+            if x.shape[0] == block.size[0] != block.size[1]:
+                if block.ell_tpos is not None:
+                    from euler_tpu.dataflow.block import ell_expand
+                    x = ell_expand(x, block.n_id, block.ell_tpos)
+                else:
+                    x = jnp.where((block.n_id >= 0)[:, None],
+                                  x[jnp.maximum(block.n_id, 0)], 0)
             x_tgt = x[: block.size[0]]
             x = nn.relu(conv((x_tgt, x), block))
             jk_hidden = [h[: block.size[0]] for h in jk_hidden]

@@ -44,7 +44,7 @@ def test_block_self_loops_and_masks(toy_graph):
 
 def test_whole_dataflow(toy_graph):
     g = toy_graph.tensors
-    flow = flows.WholeDataFlow(2, [(0, 1)])
+    flow = flows.WholeDataFlow(2, [(0, 1)], layout="edge_list")
     blocks = flow(g, jax.random.PRNGKey(0), jnp.arange(8, dtype=jnp.int32))
     assert len(blocks) == 2
     blk = blocks[0]
@@ -52,6 +52,13 @@ def test_whole_dataflow(toy_graph):
     # 11 edges + 8 self loops
     assert blk.edge_index.shape == (2, 19)
     assert np.asarray(blk.mask).sum() == 19
+    # auto layout picks the build-time ELL pack: regular [N, C] rows,
+    # same edge population (11 real + 8 loops), transpose table carried
+    blk2 = flows.WholeDataFlow(2, [(0, 1)])(g, jax.random.PRNGKey(0),
+                                            jnp.arange(8, dtype=jnp.int32))[0]
+    assert blk2.fanout == g.ell_nbr.shape[1]
+    assert blk2.ell_tpos is not None and blk2.src_deg is not None
+    assert np.asarray(blk2.mask).sum() == 19
 
 
 def test_layerwise_dataflow_shapes(toy_graph):
@@ -281,3 +288,46 @@ def test_metrics():
     # auc perfect separation
     assert float(metrics.auc(jnp.asarray([1, 1, 0, 0]),
                              jnp.asarray([0.9, 0.8, 0.2, 0.1]))) == 1.0
+
+
+def test_whole_ell_matches_edge_list_whole(toy_graph):
+    """The whole-graph ELL layouts — build-time pack AND per-call
+    dynamic assembly (cap >= max_degree) — must produce EXACTLY the
+    same 2-layer forward as the edge-list whole-graph block, for the
+    same params, for both a sym-norm conv (gcn: exercises src_deg) and
+    a masked-mean conv (sage). The pack path's parameter GRADIENTS must
+    match too (pins ell_expand's transpose-gather custom vjp)."""
+    import numpy as np
+    g = toy_graph.tensors
+    assert g.ell_nbr is not None           # ALL_PACKS builds the pack
+    gp = np.asarray(g.group_ptr)
+    max_deg = int((gp[1:] - gp[:-1]).reshape(-1, 2).sum(1).max())
+    g_nopack = g.replace(ell_nbr=None, ell_w=None, ell_eid=None,
+                         ell_ty=None, ell_tpos=None, ell_in_deg=None)
+    feat = encoders.ShallowEncoder(dense_names=("dense2",))
+    roots = jnp.arange(8, dtype=jnp.int32)
+    rngs = {"params": jax.random.PRNGKey(0),
+            "sample": jax.random.PRNGKey(1)}
+    for conv in ("gcn", "sage"):
+        mk = lambda **kw: gnn.GNNNet(
+            conv=conv, flow=flows.WholeDataFlow(2, [(0, 1)], **kw),
+            dims=(16, 8), feature=feat)
+        base = mk(layout="edge_list")
+        params = base.init(rngs, g, roots)
+
+        def out_and_grad(net, graph):
+            def loss(p):
+                o = net.apply(p, graph, roots,
+                              rngs={"sample": jax.random.PRNGKey(2)})
+                return jnp.sum(o * o), o
+            (l, o), gr = jax.value_and_grad(loss, has_aux=True)(params)
+            return np.asarray(o), gr
+
+        want, gw = out_and_grad(base, g)
+        got_pack, gp_ = out_and_grad(mk(), g)            # auto -> pack
+        got_dyn, _ = out_and_grad(mk(cap=max_deg), g_nopack)  # dynamic
+        np.testing.assert_allclose(got_pack, want, rtol=2e-5, atol=2e-6)
+        np.testing.assert_allclose(got_dyn, want, rtol=2e-5, atol=2e-6)
+        for a, b in zip(jax.tree.leaves(gw), jax.tree.leaves(gp_)):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=2e-4, atol=2e-5)
