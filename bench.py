@@ -283,12 +283,11 @@ def child():
         print(json.dumps(out), flush=True)
 
     _stage("build_graph")
-    # rgcn: payload sampling reads pre-resolved alias rows (sample_pack);
-    # ids-only modes read the 128-lane fan rows
+    # all sampled modes ride the 128-lane fan rows; rgcn gets per-draw
+    # edge types from the typed fast path (no payload gathers)
     graph = random_graph(n_nodes, avg_deg, seed=0, device_put=False,
                          num_edge_types=n_etypes,
-                         packs=("group", "sample") if rgcn
-                         else ("group", "fan"))
+                         packs=("group", "fan"))
     g = graph.tensors
 
     # declare the feature specs the model reads, synthesize values on device
@@ -324,21 +323,15 @@ def child():
         adj_alias=put(g.adj_alias),
         node_alias=jax.tree.map(put, g.node_alias),
     )
-    if rgcn:
-        g = g.replace(sample_pack=put(g.sample_pack),
-                      group_pack=None if g.group_pack is None
-                      else put(g.group_pack),
-                      group_w_sum=put(g.group_w_sum), **common)
-    else:
-        g = g.replace(fan_pack=put(g.fan_pack),
-                      fan_over_rows=put(g.fan_over_rows), **common)
+    g = g.replace(fan_pack=put(g.fan_pack),
+                  fan_over_rows=put(g.fan_over_rows), **common)
     _stage("graph_on_device")
 
     metapath = [tuple(range(n_etypes))] * 2
     feat = encoders.ShallowEncoder(dense_names=("feature",))
     net = gnn.GNNNet(conv={"rgcn": "relation"}.get(mode, mode),
                      flow=flows.SageDataFlow(fanout, metapath,
-                                             payload=rgcn),
+                                             typed=rgcn),
                      dims=(128, 128), feature=feat,
                      relation_from_etype=rgcn,
                      conv_kwargs={"num_relations": n_etypes} if rgcn

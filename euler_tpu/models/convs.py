@@ -342,16 +342,34 @@ class RelationConv(nn.Module):
         xj = block.gather_src(x_src)
         attr = jnp.clip(edge_attr, 0, self.num_relations - 1)
         # scatter is linear in the messages, so aggregate raw features per
-        # relation FIRST (R masked segment-sums over [E,f]), then apply the
-        # relation matrices to the [T,R,f] sums with one MXU einsum —
-        # never materializing [E,d] per-edge transformed messages R times
+        # relation FIRST, then apply the relation matrices to the
+        # [T,R,f] sums with one MXU einsum — never materializing [E,d]
+        # per-edge transformed messages R times
         m = mask.astype(xj.dtype) if mask is not None else None
-        sums = []
-        for r in range(self.num_relations):
-            sel = (attr == r).astype(xj.dtype)
-            sel = sel * m if m is not None else sel
-            sums.append(block.scatter("add", xj * sel[:, None], None))
-        s = jnp.stack(sums, axis=1)                     # [T, R, f]
+        R = self.num_relations
+        if block.fanout is not None and not block.shared_src:
+            # regular layout: ONE batched einsum replaces R sequential
+            # masked reduces (R passes over [E,f] cost 4.3x a sage step
+            # at R=4 on chip — BENCH_SUITE r5 rgcn)
+            xj_s, xj_l = block._split(xj)               # [T,C,f], [T,f]
+            at_s, at_l = block._split(attr)
+            oh_s = jax.nn.one_hot(at_s, R, dtype=xj.dtype)  # [T,C,R]
+            if m is not None:
+                m_s, m_l = block._split(m)
+                oh_s = oh_s * m_s[..., None]
+            s = jnp.einsum("tcf,tcr->trf", xj_s, oh_s)
+            if xj_l is not None:
+                oh_l = jax.nn.one_hot(at_l, R, dtype=xj.dtype)
+                if m is not None:
+                    oh_l = oh_l * m_l[..., None]
+                s = s + xj_l[:, None, :] * oh_l[..., None]   # [T,R,f]
+        else:
+            sums = []
+            for r in range(R):
+                sel = (attr == r).astype(xj.dtype)
+                sel = sel * m if m is not None else sel
+                sums.append(block.scatter("add", xj * sel[:, None], None))
+            s = jnp.stack(sums, axis=1)                 # [T, R, f]
         tot = jnp.einsum("trf,rdf->td", s, matrix)      # [T, d]
         ones = jnp.ones((xj.shape[0], 1), xj.dtype)
         cnt = block.scatter("add", ones, mask)          # valid-edge count

@@ -57,11 +57,12 @@ class GNNNet(nn.Module):
     def __call__(self, g: GraphTensors, roots: Array) -> Array:
         key = self.make_rng("sample")
         if self.relation_from_etype and \
-                getattr(self.flow, "payload", True) is False:
+                getattr(self.flow, "payload", True) is False and \
+                not getattr(self.flow, "typed", False):
             raise ValueError(
-                "relation_from_etype needs true edge ids: construct the "
-                "flow with payload=True (fast ids-only sampling carries "
-                "e_id=-1)")
+                "relation_from_etype needs edge types: construct the "
+                "flow with typed=True (fast path + per-draw types) or "
+                "payload=True (fast ids-only sampling carries e_id=-1)")
         blocks = self.flow(g, key, roots)
         if self.dedup_features:
             from euler_tpu.ops.util_ops import unique_gather

@@ -221,7 +221,8 @@ def sample_neighbor(g: GraphTensors, key, nodes: Array, edge_types,
 
 
 def sample_neighbor_fast(g: GraphTensors, key, nodes: Array, edge_types,
-                         count: int, default_id: int = -1):
+                         count: int, default_id: int = -1,
+                         return_types: bool = False):
     """Ids-only weighted neighbor sampling over the packed fan rows.
 
     The hot path of the sampled dataflows: ONE 128-lane row gather per
@@ -233,22 +234,26 @@ def sample_neighbor_fast(g: GraphTensors, key, nodes: Array, edge_types,
     <= FAN_D; larger groups draw from an exact-marginal reservoir
     (refresh with refresh_fan_pack).
 
-    Returns (nbr_ids [B,count], valid [B,count] bool). Use sample_neighbor
-    for the full (weights/types/eids) payload.
+    Returns (nbr_ids [B,count], valid [B,count] bool); with
+    ``return_types=True`` additionally the drawn edge's TYPE per draw
+    ([B,count], -1 invalid) — free on this path, because the multi-type
+    draw already computes which type-group served each draw (the RGCN
+    relation feed without the per-draw payload gathers of
+    sample_neighbor). Use sample_neighbor for weights/eids.
     """
     ets = _as_etypes(g, edge_types)
     if _is_shard_view(g):
-        if getattr(g, "fan_pack", None) is not None:
+        if getattr(g, "fan_pack", None) is not None and not return_types:
             from euler_tpu.parallel import sharded
             return sharded.sample_neighbor_fast_sharded(
                 g, key, nodes, ets, count, default_id)
         nbr, w, ty, eid = sample_neighbor(g, key, nodes, ets, count,
                                           default_id)
-        return nbr, ty >= 0
+        return (nbr, ty >= 0, ty) if return_types else (nbr, ty >= 0)
     if getattr(g, "fan_pack", None) is None:
         nbr, w, ty, eid = sample_neighbor(g, key, nodes, ets, count,
                                           default_id)
-        return nbr, ty >= 0
+        return (nbr, ty >= 0, ty) if return_types else (nbr, ty >= 0)
     nodes = jnp.asarray(nodes, jnp.int32)
     B = nodes.shape[0]
     rows = jnp.maximum(nodes, 0)
@@ -279,6 +284,9 @@ def sample_neighbor_fast(g: GraphTensors, key, nodes: Array, edge_types,
                 interpret=jax.default_backend() != "tpu")
             valid = (nodes >= 0)[:, None] & (deg_c > 0) \
                 & (total > 0)[:, None]
+            if return_types:
+                ty = jnp.where(valid, et_arr[0], -1)
+                return jnp.where(valid, ids, default_id), valid, ty
             return jnp.where(valid, ids, default_id), valid
         slot = jnp.minimum((u1 * deg_c).astype(jnp.int32),
                            jnp.maximum(deg_c - 1, 0))
@@ -310,6 +318,13 @@ def sample_neighbor_fast(g: GraphTensors, key, nodes: Array, edge_types,
     alias = pick(alias_bank)
     ids = jnp.where(u2 < prob, kept, alias)
     valid = (nodes >= 0)[:, None] & (deg_c > 0) & (total > 0)[:, None]
+    if return_types:
+        # the draw's serving type-group IS its edge type — no payload
+        # row fetch needed
+        ty = et_arr[kidx] if K > 1 else jnp.broadcast_to(
+            et_arr[0], ids.shape)
+        return (jnp.where(valid, ids, default_id), valid,
+                jnp.where(valid, ty, -1))
     return jnp.where(valid, ids, default_id), valid
 
 

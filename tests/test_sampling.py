@@ -271,6 +271,37 @@ def test_sample_neighbor_fast_union_and_padding(toy_graph):
         [freq[101], freq[103], freq[105]], [1 / 6, 3 / 6, 2 / 6], atol=0.02)
 
 
+def test_sample_neighbor_fast_return_types(toy_graph):
+    """typed fast path: each draw's reported edge type is a true type of
+    a (root -> nbr) edge, -1 exactly on invalid draws, and the drawn
+    (nbr, type) frequencies follow the union-weighted distribution —
+    matching the payload verb with zero payload gathers."""
+    from tests.fixtures import EDGES
+    g = toy_graph.tensors
+    ets = (_et(g, "click"), _et(g, "buy"))
+    nodes = jnp.asarray([toy_graph.local_id(100), toy_graph.local_id(107),
+                         -1])
+    nbr, valid, ty = sampling.sample_neighbor_fast(
+        g, jax.random.PRNGKey(6), nodes, ets, 30_000, return_types=True)
+    nbr, valid, ty = np.asarray(nbr), np.asarray(valid), np.asarray(ty)
+    assert ((ty == -1) == ~valid).all()
+    # legal (dst_ext, type_name) pairs out of node 100
+    legal = {(d, t) for s, d, t, w in EDGES if s == 100}
+    names = toy_graph.meta.edge_types
+    exts = toy_graph.ext_ids[np.maximum(nbr[0], 0)]
+    pairs = {(int(e), names[int(t)]) for e, t in zip(exts, ty[0])}
+    assert pairs <= legal
+    # weighted across the union: click(101 w1, 103 w3) + buy(105 w2)
+    freq_buy = (ty[0] == _et(g, "buy")).mean()
+    np.testing.assert_allclose(freq_buy, 2 / 6, atol=0.02)
+    # single-type call broadcasts that type
+    _, v1, t1 = sampling.sample_neighbor_fast(
+        g, jax.random.PRNGKey(7), nodes, (_et(g, "click"),), 8,
+        return_types=True)
+    t1, v1 = np.asarray(t1), np.asarray(v1)
+    assert (t1[v1] == _et(g, "click")).all() and (t1[~v1] == -1).all()
+
+
 def test_fan_pack_reservoir_marginal():
     """Groups with deg > FAN_D use reservoir rows; per-draw marginal stays
     the exact weighted distribution, and refresh_fan_pack redraws them."""
