@@ -159,6 +159,14 @@ class GraphTensors:
     # refresh_fan_pack must redraw (ops/sampling.refresh_fan_rows)
     fan_over_rows: Optional[jnp.ndarray] = None  # int32 [K]
 
+    # prebuilt sorted attribute indexes (ops/index.AttrIndex): value-
+    # sorted id arrays + weight prefix sums per indexed attribute, the
+    # device-resident Hash/RangeSampleIndex (index_manager.h:34). Built
+    # post-load with ops.index.build_attr_index; conditional sampling
+    # uses them for O(count log N) draws instead of full-column scans.
+    node_index: Dict[str, "object"] = struct.field(default_factory=dict)
+    edge_index_: Dict[str, "object"] = struct.field(default_factory=dict)
+
     # whole-graph ELL pack: every node's neighborhood (union of types,
     # node's CSR slots are contiguous) laid out as regular [N, C] rows so
     # full-graph propagation aggregates by reshape+reduce instead of

@@ -113,11 +113,12 @@ class ShardedEmbedding(nn.Module):
             (n_local, self.dim))
         flat = ids.reshape(-1)
         b = flat.shape[0]
-        alln = jax.lax.all_gather(flat, axis, axis=0).reshape(-1)
+        from euler_tpu.parallel import comms
+        alln = comms.all_gather(flat, axis, axis=0).reshape(-1)
         owned = (alln >= 0) & (alln % S == jax.lax.axis_index(axis))
         rows = jnp.clip(jnp.where(owned, alln, 0) // S, 0, n_local - 1)
         v = jnp.where(owned[:, None], table[rows], 0.0)
-        ex = jax.lax.all_to_all(v, axis, split_axis=0, concat_axis=0,
+        ex = comms.all_to_all(v, axis, split_axis=0, concat_axis=0,
                                 tiled=True)
         out = ex.reshape(S, b, self.dim).sum(axis=0)
         out = jnp.where((flat >= 0)[:, None], out, 0.0)

@@ -46,11 +46,12 @@ def _sharded_store_read(view, table, ids):
     shape_in = ids.shape
     flat = ids.reshape(-1)
     b = flat.shape[0]
-    alln = jax.lax.all_gather(flat, axis, axis=0).reshape(-1)
+    from euler_tpu.parallel import comms
+    alln = comms.all_gather(flat, axis, axis=0).reshape(-1)
     owned = (alln >= 0) & (alln % S == jax.lax.axis_index(axis))
     rows = jnp.clip(jnp.where(owned, alln, 0) // S, 0, n_local - 1)
     v = jnp.where(owned[:, None], table[rows], 0.0)
-    ex = jax.lax.all_to_all(v, axis, split_axis=0, concat_axis=0,
+    ex = comms.all_to_all(v, axis, split_axis=0, concat_axis=0,
                             tiled=True)
     out = ex.reshape(S, b, table.shape[-1]).sum(axis=0)
     return out.reshape(shape_in + (table.shape[-1],))
@@ -63,9 +64,10 @@ def _sharded_store_write(view, table, ids, values):
     graph' layout consistent). Returns the updated local block."""
     S, axis = view.num_shards, view.axis
     n_local = table.shape[0]
-    ids_all = jax.lax.all_gather(ids, ("data", "graph"), axis=0,
+    from euler_tpu.parallel import comms
+    ids_all = comms.all_gather(ids, ("data", "graph"), axis=0,
                                  tiled=True)
-    val_all = jax.lax.all_gather(values, ("data", "graph"), axis=0,
+    val_all = comms.all_gather(values, ("data", "graph"), axis=0,
                                  tiled=True)
     mine = (ids_all >= 0) & (ids_all % S == jax.lax.axis_index(axis))
     rows = jnp.where(mine, ids_all // S, n_local)   # out-of-range drops

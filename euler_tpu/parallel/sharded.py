@@ -534,14 +534,16 @@ def to_view(sg_block: "ShardedGraphTensors", axis: str) -> ShardView:
 # ---------------------------------------------------------------------------
 
 def _psum(x, axis):
-    return jax.lax.psum(x, axis)
+    from euler_tpu.parallel import comms
+    return comms.psum(x, axis)
 
 
 def _spread(view: ShardView, nodes: Array):
     """all_gather the group's query ids: every shard must see every root to
     answer for the ones it owns (the ID_SPLIT fan-out of the reference,
     id_split_op.cc, as one collective). Returns [S*b, ...]."""
-    g = jax.lax.all_gather(nodes, view.axis, axis=0)
+    from euler_tpu.parallel import comms
+    g = comms.all_gather(nodes, view.axis, axis=0)
     return g.reshape((-1,) + nodes.shape[1:])
 
 
@@ -571,8 +573,9 @@ def _owner_to_mine(view: ShardView, vals: Array, b: int):
     — the all-reduce moved ~2x the payload and materialized every
     shard's results everywhere (the reference routes replies only to the
     querying client, remote_op.cc:60-146 + the *_MERGE kernels)."""
-    ex = jax.lax.all_to_all(vals, view.axis, split_axis=0, concat_axis=0,
-                            tiled=True)
+    from euler_tpu.parallel import comms
+    ex = comms.all_to_all(vals, view.axis, split_axis=0, concat_axis=0,
+                          tiled=True)
     return ex.reshape((view.num_shards, b) + vals.shape[1:]).sum(axis=0)
 
 
@@ -962,7 +965,8 @@ def _sync_key(view: ShardView, key):
     (e.g. a model's "sample" rng folded per member), so these ops
     synchronize on member 0's key themselves rather than relying on
     caller discipline."""
-    return jax.lax.all_gather(key, view.axis)[0]
+    from euler_tpu.parallel import comms
+    return comms.all_gather(key, view.axis)[0]
 
 
 def sample_node_sharded(view: ShardView, key, count, node_type=-1):
@@ -1263,7 +1267,8 @@ def sample_node_with_condition_sharded(view: ShardView, key, count, dnf,
     wloc = view.node_w * mask
     tot = jnp.sum(wloc)
     ks, kd = jax.random.split(key)
-    tots = jax.lax.all_gather(tot, view.axis)     # [S]
+    from euler_tpu.parallel import comms
+    tots = comms.all_gather(tot, view.axis)     # [S]
     cdf = jnp.cumsum(tots)
     r = jax.random.uniform(ks, (count,)) * cdf[-1]
     shard_choice = jnp.minimum(
@@ -1371,7 +1376,8 @@ def query_index_ids_sharded(view: ShardView, dnf, cap):
     gids = jnp.arange(n_max, dtype=jnp.int32) * S + view.my_shard
     big = jnp.iinfo(jnp.int32).max
     local = jnp.where(mask, gids, big)
-    allv = jax.lax.all_gather(local, view.axis).reshape(-1)
+    from euler_tpu.parallel import comms
+    allv = comms.all_gather(local, view.axis).reshape(-1)
     topv = jnp.sort(allv)[:cap]
     ids = jnp.where(topv < big, topv, -1)
     return ids, ids >= 0

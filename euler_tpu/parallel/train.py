@@ -31,6 +31,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from euler_tpu.parallel.sharded import (ShardedGraphTensors, shard_specs,
                                         to_view)
 from euler_tpu.ops import sampling
+from euler_tpu.parallel import comms
 
 
 def node_ids_fn(node_type=-1):
@@ -82,9 +83,9 @@ def _sync_grads(grads):
             used = {a for a in jax.tree_util.tree_leaves(gr.names)
                     if isinstance(a, str)}
             axes = tuple(a for a in ("data", "graph") if a not in used)
-            val = jax.lax.pmean(gr.unbox(), axes) if axes else gr.unbox()
+            val = comms.pmean(gr.unbox(), axes) if axes else gr.unbox()
             return gr.replace_boxed(val)
-        return jax.lax.pmean(gr, ("data", "graph"))
+        return comms.pmean(gr, ("data", "graph"))
 
     return jax.tree_util.tree_map(
         sync, grads, is_leaf=lambda x: isinstance(x, nn.Partitioned))
@@ -152,7 +153,7 @@ def make_sharded_train_step(model, sg: ShardedGraphTensors,
     def sharded_step(params, state, opt_state, sg_in, key):
         def lossfn(p, st, blk, k):
             loss, new_state = local_loss(p, st, blk, k)
-            return jax.lax.pmean(loss, ("data", "graph")), new_state
+            return comms.pmean(loss, ("data", "graph")), new_state
 
         def grad_body(p, st, blk, k):
             (loss, new_state), grads = jax.value_and_grad(
@@ -270,7 +271,7 @@ def make_sharded_apply(model, sg: ShardedGraphTensors, mesh: Mesh,
         else:
             out = model.apply(params, view, batch, rngs={"sample": key})
         if split_batch:
-            out = {k: jax.lax.pmean(v, ("data", "graph"))
+            out = {k: comms.pmean(v, ("data", "graph"))
                    if jnp.ndim(v) == 0 else v for k, v in out.items()}
         return out
 

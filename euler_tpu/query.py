@@ -148,6 +148,8 @@ class Query:
         """Start from explicit node ids (gremlin ``v(nodes)``)."""
         ids = jnp.asarray(ids, jnp.int32)
 
+        self._pending_sample = None
+
         def step(g, st, key):
             st["frontier"] = NodeResult(ids=ids, mask=ids >= 0)
         return self._add("v", step)
@@ -155,6 +157,7 @@ class Query:
     def e(self, eids) -> "Query":
         """Start from explicit edge ids (CSR eid; gremlin ``e(edges)``)."""
         eids = jnp.asarray(eids, jnp.int32)
+        self._pending_sample = None
 
         def step(g, st, key):
             ok = eids >= 0
@@ -190,11 +193,50 @@ class Query:
         return self
 
     def sampleE(self, edge_type=-1, count: int = 512) -> "Query":
-        """reference: API_SAMPLE_EDGE."""
+        """Weighted global edge sampling, honoring pending edge-attribute
+        predicates (reference: API_SAMPLE_EDGE + the edge side of the
+        index subsystem)."""
         def step(g, st, key):
-            src, dst, ty, eid = sampling.sample_edge(g, key, count, edge_type)
-            st["frontier"] = EdgeResult(src=src, dst=dst, types=ty, eids=eid)
-        return self._add("sampleE", step)
+            d = step.dnf
+            if d:
+                src, dst, ty, eid = index_ops.sample_edge_with_condition(
+                    g, key, count, d, edge_type)
+            else:
+                src, dst, ty, eid = sampling.sample_edge(g, key, count,
+                                                         edge_type)
+            st["frontier"] = EdgeResult(src=src, dst=dst, types=ty,
+                                        eids=eid)
+        step.dnf = None
+        self._add("sampleE", step)
+        self._pending_sample = step
+        return self
+
+    def filter(self) -> "Query":
+        """Apply the pending predicates to the CURRENT frontier: edge
+        frontiers filter through edge-attribute columns at their eids,
+        node frontiers through node attributes at their ids — both
+        O(frontier) gathers. run() auto-appends this when predicates
+        trail a ``v()``/``e()`` frontier with no sample verb to bind to.
+        """
+        dnf = self._take_dnf()
+        if getattr(self, "_pending_sample", None) is not None:
+            self._pending_sample = None
+
+        def step(g, st, key):
+            f = st["frontier"]
+            if isinstance(f, EdgeResult):
+                m = index_ops.edge_dnf_mask(g, dnf, f.eids)
+                st["frontier"] = EdgeResult(
+                    src=jnp.where(m, f.src, -1),
+                    dst=jnp.where(m, f.dst, -1),
+                    types=jnp.where(m, f.types, -1),
+                    eids=jnp.where(m, f.eids, -1))
+            else:
+                m = index_ops.dnf_mask_at(g, dnf, f.ids)
+                st["frontier"] = dataclasses.replace(
+                    f, ids=jnp.where(m, f.ids, -1),
+                    mask=(f.mask & m) if f.mask is not None else m)
+        return self._add("filter", step)
 
     # -- predicates (attach to the nearest following/preceding sampleN) -----
 
@@ -395,6 +437,10 @@ class Query:
 
     def run(self, key=None, jit: bool = True) -> Dict[str, Any]:
         """Execute the plan; returns {alias: result} plus ``_frontier``."""
+        if self._preds and getattr(self, "_pending_sample", None) is None:
+            # trailing predicates after a v()/e() frontier with no
+            # sample verb to bind to: filter the frontier
+            self.filter()
         if key is None:
             key = jax.random.PRNGKey(0)
         steps = list(self._steps)

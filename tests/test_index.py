@@ -69,3 +69,84 @@ def test_condition_under_jit(toy_graph):
     f = jax.jit(lambda g, k: sample_node_with_condition(g, k, 64, dnf))
     ids = np.asarray(f(g, jax.random.PRNGKey(2)))
     assert set(ids.tolist()) <= {0, 1, 2, 3}
+
+
+def test_attr_index_sampling_matches_mask_path(toy_graph):
+    """Prebuilt AttrIndex (sorted ids + weight prefix sums) must
+    reproduce the mask path's conditional distribution for every
+    operator — the device-resident Hash/RangeSampleIndex
+    (hash_sample_index.h:41-68, range_sample_index.h)."""
+    from euler_tpu.ops.index import build_attr_index, indexed_sample
+    g = build_attr_index(toy_graph.tensors, ["price", "node_type"])
+    assert "price:0" in g.node_index
+    cases = [Pred("price", "gt", 5.0), Pred("price", "le", 10.0),
+             Pred("price", "eq", 7.5), Pred("price", "ne", 7.5),
+             Pred("price", "in", (2.5, 12.5)),
+             Pred("price", "not_in", (2.5, 12.5)),
+             Pred("node_type", "eq", "item")]
+    for p in cases:
+        want_mask = np.asarray(dnf_mask(g, [[p]]))
+        ids = np.asarray(indexed_sample(g, jax.random.PRNGKey(3),
+                                        30_000, p))
+        assert (ids >= 0).all() == want_mask.any()
+        drawn = set(ids[ids >= 0].tolist())
+        assert drawn == set(np.nonzero(want_mask)[0].tolist()), p
+        # weighted: node weights are 1..8 (idx+1)
+        w = np.asarray(g.node_w) * want_mask
+        freq = np.bincount(ids[ids >= 0], minlength=8) / max(
+            1, (ids >= 0).sum())
+        np.testing.assert_allclose(freq, w / w.sum(), atol=0.015,
+                                   err_msg=str(p))
+    # sample_node_with_condition auto-routes single predicates through
+    # the index; parity with the scan path on the same graph
+    ids = np.asarray(sample_node_with_condition(
+        g, jax.random.PRNGKey(4), 20_000, [[Pred("price", "gt", 5.0)]]))
+    assert set(ids.tolist()) == {3, 4, 5, 6, 7}
+
+
+def test_edge_predicates_and_conditional_edge_sampling(toy_graph):
+    """Edge-attribute predicates: e(...).has(...) filters an edge
+    frontier, and sampleE honors conditions through the O(E) mask and
+    the prebuilt edge AttrIndex (reference indexes edges too)."""
+    from euler_tpu.ops.index import (build_attr_index,
+                                     sample_edge_with_condition)
+    from euler_tpu.query import Query
+    from tests.fixtures import EDGES
+    g = toy_graph.tensors
+    # edense = 10 * edge weight (fixture contract, eid order)
+    dnf = [[Pred("edense", "ge", 20.0)]]
+    src, dst, ty, eid = sample_edge_with_condition(
+        g, jax.random.PRNGKey(0), 20_000, dnf)
+    eid = np.asarray(eid)
+    assert (eid >= 0).all()
+    legal = {i for i, (s, d, t, w) in enumerate(EDGES) if w * 10 >= 20.0}
+    assert set(eid.tolist()) == legal
+    # weighted among matches
+    w = np.asarray([EDGES[i][3] for i in sorted(legal)])
+    freq = np.bincount(eid, minlength=len(EDGES))[sorted(legal)] \
+        / len(eid)
+    np.testing.assert_allclose(freq, w / w.sum(), atol=0.01)
+
+    # prebuilt edge index path gives the same set/distribution
+    g2 = build_attr_index(g, ["edense"], target="edge")
+    _, _, _, eid2 = sample_edge_with_condition(
+        g2, jax.random.PRNGKey(1), 20_000, dnf)
+    eid2 = np.asarray(eid2)
+    assert set(eid2.tolist()) == legal
+    freq2 = np.bincount(eid2, minlength=len(EDGES))[sorted(legal)] \
+        / len(eid2)
+    np.testing.assert_allclose(freq2, w / w.sum(), atol=0.01)
+
+    # e(...).ge(...) filters the explicit edge frontier in the builder
+    out = (Query(g).e(jnp.arange(len(EDGES), dtype=jnp.int32))
+           .ge("edense", 20.0)).run(jax.random.PRNGKey(2))
+    f = out["_frontier"]
+    kept = np.asarray(f.eids)
+    assert set(kept[kept >= 0].tolist()) == legal
+    assert (np.asarray(f.src)[kept < 0] == -1).all()
+
+    # sampleE with trailing predicate binds like sampleN
+    out2 = (Query(g).sampleE(-1, 4096).ge("edense", 20.0)
+            ).run(jax.random.PRNGKey(5))
+    e2 = np.asarray(out2["_frontier"].eids)
+    assert (e2 >= 0).all() and set(e2.tolist()) == legal

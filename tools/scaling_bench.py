@@ -36,10 +36,18 @@ def main(argv=None):
     p.add_argument("--batch-per-dev", type=int, default=128)
     p.add_argument("--fanouts", type=int, nargs=2, default=[25, 10])
     p.add_argument("--steps", type=int, default=20)
+    p.add_argument("--feat-dim", type=int, default=64)
     p.add_argument("--shapes", default=None,
                    help="comma list of DxG mesh shapes; default sweeps "
                         "graph axis 1..n_devices")
     p.add_argument("--platform", default=None)
+    p.add_argument("--chip-step-ms", type=float, default=None,
+                   help="measured single-chip step time for this "
+                        "per-device workload (bench.py); enables the "
+                        "ICI-based predicted scaling efficiency")
+    p.add_argument("--ici-gbs", type=float, default=90.0,
+                   help="assumed ICI bandwidth per chip per direction "
+                        "(GB/s); ~90 for v5e-class parts")
     args = p.parse_args(argv)
 
     import jax
@@ -67,8 +75,8 @@ def main(argv=None):
             g *= 2
 
     d = os.path.join(tempfile.gettempdir(), "euler_tpu_scaling")
-    ds = SBMDataset(d, n_nodes=args.nodes, n_classes=8, feat_dim=64,
-                    seed=0)
+    ds = SBMDataset(d, n_nodes=args.nodes, n_classes=8,
+                    feat_dim=args.feat_dim, seed=0)
     graph = ds.load_graph()
     et = graph.meta.edge_types.index("link")
     f1, f2 = args.fanouts
@@ -101,7 +109,12 @@ def main(argv=None):
         est = SpmdNodeEstimator(model(), graph, cfg,
                                 train_node_type=ds.train_node_type,
                                 mesh=mesh)
-        est.train(total_steps=2)                 # compile + warm
+        # trace-time ICI accounting: collectives inside the scanned step
+        # body trace ONCE, so the recorded bytes are per-STEP per-device
+        # (plus any one-time init-program collectives — near zero here)
+        from euler_tpu.parallel import comms
+        with comms.account() as acc:
+            est.train(total_steps=2)             # compile + warm
         t0 = time.perf_counter()
         est.train(total_steps=args.steps)
         dt = time.perf_counter() - t0
@@ -111,10 +124,17 @@ def main(argv=None):
         if base_rate is None:
             base_rate = rate / ndev
         eff = rate / (base_rate * ndev)
+        tot = acc.totals()
         rec = {"mesh": f"{dsz}x{gsz}", "devices": ndev,
                "edges_per_sec": round(rate, 1),
                "scaling_efficiency": round(eff, 3),
+               "comm_MB_per_step_per_dev": {
+                   k: round(v / 1e6, 3) for k, v in tot.items()},
                "platform": jax.devices()[0].platform}
+        if args.chip_step_ms and ndev > 1:
+            rec["predicted_chip_efficiency"] = round(
+                acc.predicted_efficiency(args.chip_step_ms / 1e3,
+                                         args.ici_gbs * 1e9), 3)
         print(json.dumps(rec), flush=True)
         results.append(rec)
     print(json.dumps({"summary": results}))
