@@ -315,3 +315,131 @@ def test_gated_golden():
                          jnp.asarray(aggr))
     np.testing.assert_allclose(got, np.asarray(want), rtol=1e-4,
                                atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# End-to-end golden forward parity (VERDICT r4 #8): the ENTIRE
+# dataflow-to-loss pipeline — block bookkeeping (capped full
+# neighborhoods, self loops, padding; reference
+# neighbor_dataflow.py:45-76), featurize, per-block conv+relu
+# (base_gnn.py:74-92), output fc, supervised head + masked sigmoid
+# xent (mp_utils/base.py:24-48) — re-derived in pure numpy from the
+# CSR arrays and the initialized weights, compared against
+# GNNNet/SuperviseModel.apply. Pins flow bookkeeping + conv algebra +
+# loss together, not just conv math.
+# ---------------------------------------------------------------------------
+
+def _np_blocks(g, roots, caps, ets):
+    """Numpy re-derivation of GCNDataFlow: per hop, each target's full
+    neighborhood over the union of edge-type groups in CSR order,
+    truncated at cap, padded -1; sources = concat(targets, nbrs.flat);
+    self-loop edges appended."""
+    gp = np.asarray(g.group_ptr)
+    adj_dst = np.asarray(g.adj_dst)
+    ET = g.meta.num_edge_types
+    blocks = []
+    cur = np.asarray(roots, np.int64)
+    for cap in caps:
+        T = len(cur)
+        nbr = np.full((T, cap), -1, np.int64)
+        for i, n in enumerate(cur):
+            if n < 0:
+                continue
+            cands = []
+            for t in ets:
+                lo, hi = gp[n * ET + t], gp[n * ET + t + 1]
+                cands.extend(adj_dst[lo:hi].tolist())
+            nbr[i, :min(cap, len(cands))] = cands[:cap]
+        # edges: per target, cap sampled slots then T self loops
+        dst = np.repeat(np.arange(T), cap)
+        src = T + np.arange(T * cap)
+        mask = ((nbr.reshape(-1) >= 0)
+                & np.repeat(cur >= 0, cap)).astype(np.float32)
+        loop = np.arange(T)
+        dst = np.concatenate([dst, loop])
+        src = np.concatenate([src, loop])
+        mask = np.concatenate([mask, (cur >= 0).astype(np.float32)])
+        n_id = np.concatenate([cur, nbr.reshape(-1)])
+        blocks.append(dict(n_id=n_id, dst=dst, src=src, mask=mask,
+                           size=(T, len(n_id))))
+        cur = n_id
+    return list(reversed(blocks))
+
+
+def _np_gcn_conv(x, blk, W):
+    T = blk["size"][0]
+    dst, src, mask = blk["dst"], blk["src"], blk["mask"]
+    deg_t = np.zeros(T)
+    np.add.at(deg_t, dst, mask)
+    deg_s = np.zeros(blk["size"][1])
+    np.add.at(deg_s, src, mask)
+    ni = np.where(deg_t > 0, deg_t, 1.0) ** -0.5
+    nj = np.where(deg_s > 0, deg_s, 1.0) ** -0.5
+    scale = ni[dst] * nj[src] * mask
+    out = np.zeros((T, x.shape[1]))
+    np.add.at(out, dst, x[src] * scale[:, None])
+    return out @ W
+
+
+def _np_sage_conv(x, blk, W_self, W_aggr):
+    T = blk["size"][0]
+    dst, src, mask = blk["dst"], blk["src"], blk["mask"]
+    tot = np.zeros((T, x.shape[1]))
+    np.add.at(tot, dst, x[src] * mask[:, None])
+    cnt = np.zeros(T)
+    np.add.at(cnt, dst, mask)
+    aggr = tot / np.maximum(cnt, 1e-7)[:, None]
+    return x[:T] @ W_self + aggr @ W_aggr
+
+
+@pytest.mark.parametrize("conv_name", ["gcn", "sage"])
+def test_e2e_forward_loss_golden(toy_graph, conv_name):
+    from euler_tpu.dataflow import flows
+    from euler_tpu.models import encoders, gnn
+    g = toy_graph.tensors
+    ets = (0, 1)
+    caps = [4, 3]
+    feat = encoders.ShallowEncoder(dense_names=("dense2",))
+    net = gnn.GNNNet(conv=conv_name,
+                     flow=flows.GCNDataFlow(caps, [ets, ets]),
+                     dims=(5, 4), feature=feat)
+    model = gnn.SuperviseModel(embedder=net, label_name="price",
+                               label_dim=1)
+    roots = jnp.asarray([0, 3, 5, 7, -1], jnp.int32)
+    rngs = {"params": jax.random.PRNGKey(0),
+            "sample": jax.random.PRNGKey(1)}
+    params = model.init(rngs, g, roots)
+    out = model.apply(params, g, roots,
+                      rngs={"sample": jax.random.PRNGKey(2)})
+
+    # ---- independent numpy pipeline from the same weights ----
+    pe = params["params"]["embedder"]
+    blocks = _np_blocks(g, np.asarray(roots), caps, ets)
+    feats = np.asarray(g.dense_nf["dense2"], np.float64)
+    n_id0 = blocks[0]["n_id"]
+    x = np.where((n_id0 >= 0)[:, None],
+                 feats[np.maximum(n_id0, 0)], 0.0)
+    for li, blk in enumerate(blocks):
+        cw = {k: np.asarray(v["kernel"], np.float64)
+              for k, v in pe[f"conv_{li}"].items()}
+        if conv_name == "gcn":
+            x = _np_gcn_conv(x, blk, cw["Dense_0"])
+        else:
+            x = _np_sage_conv(x, blk, cw["Dense_0"], cw["Dense_1"])
+        x = np.maximum(x, 0.0)                          # relu
+    emb = x @ np.asarray(pe["out_fc"]["kernel"], np.float64) \
+        + np.asarray(pe["out_fc"]["bias"], np.float64)
+    logit = emb @ np.asarray(params["params"]["head_fc"]["kernel"],
+                             np.float64)
+    label = np.where((np.asarray(roots) >= 0)[:, None],
+                     np.asarray(g.dense_nf["price"])[
+                         np.maximum(np.asarray(roots), 0), :1], 0.0)
+    valid = (np.asarray(roots) >= 0).astype(np.float64)[:, None]
+    xent = (np.maximum(logit, 0) - logit * label
+            + np.log1p(np.exp(-np.abs(logit)))) * valid
+    loss = xent.sum() / max(valid.sum() * 1, 1.0)
+
+    assert np.abs(logit).max() > 1e-3          # non-vacuous pin
+    np.testing.assert_allclose(np.asarray(out["logit"]), logit,
+                               rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(float(out["loss"]), loss, rtol=2e-5)
