@@ -387,6 +387,58 @@ class EdgeEstimator(BaseEstimator):
                                  hit_ks=hit_ks)
 
 
+class GaeEstimator(NodeEstimator):
+    """Autoencoder runs: node-sampled training plus id-file evaluation
+    inputs (reference: euler_estimator/python/gae_estimator.py —
+    sample_node train source, TextLineDataset id file for eval/infer).
+    Pair with GAE/VGAE/DGI models (models.autoencoders)."""
+
+    @staticmethod
+    def ids_from_file(path):
+        """One integer id per line -> int array (the reference's
+        get_input_from_id_file)."""
+        return np.loadtxt(path, dtype=np.int64).reshape(-1)
+
+    def evaluate_id_file(self, path):
+        return self.evaluate(self.ids_from_file(path))
+
+    def infer_id_file(self, path, out_dir=None):
+        return self.infer(self.ids_from_file(path), out_dir)
+
+
+class SampleEstimator(BaseEstimator):
+    """Training from PRECOMPUTED samples instead of on-graph sampling
+    (reference: euler_estimator/python/sample_estimator.py —
+    TextLineDataset of comma-separated sample rows, batched+repeated).
+
+    ``samples``: [M, K] int array or a path to a text file with K
+    comma-separated ints per line. Each step draws ``batch_size`` rows
+    uniformly with replacement (the shuffled-repeat epoch stream of the
+    reference, shapes static under jit); single-column files feed the
+    model as flat id batches. The table rides inside the compiled
+    program — suited to sample files up to a few hundred MB.
+    """
+
+    def __init__(self, model, graph, config, samples):
+        super().__init__(model, graph, config)
+        if isinstance(samples, str):
+            samples = np.loadtxt(samples, delimiter=",", dtype=np.int64,
+                                 ndmin=2)
+        samples = np.asarray(samples)
+        if samples.ndim == 1:
+            samples = samples[:, None]
+        if not len(samples):
+            raise ValueError("empty sample set")
+        self._samples = jnp.asarray(samples, jnp.int32)
+
+    def train_batch(self, g, key):
+        tab = self._samples
+        idx = jax.random.randint(key, (self.config.batch_size,), 0,
+                                 tab.shape[0])
+        rows = tab[idx]
+        return rows[:, 0] if rows.shape[1] == 1 else rows
+
+
 def make_graph_batch(g, graph_idx, label_name, num_classes):
     """Graph-classification model input from graph indices: membership
     block + one-hot labels from the first member node's dense feature

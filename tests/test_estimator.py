@@ -148,3 +148,51 @@ def test_unsupervised_mrr_improves(sbm, tmp_path):
     est.train()
     after = est.evaluate(np.arange(200))["mrr"]
     assert after > before + 0.1, (before, after)
+
+
+def test_gae_estimator_id_file(sbm, tmp_path):
+    """GaeEstimator: node-sampled training + id-file eval inputs
+    (reference: gae_estimator.py get_input_from_id_file)."""
+    from euler_tpu.estimator.estimator import GaeEstimator
+    from euler_tpu.models import autoencoders
+    ds, graph = sbm
+    et = graph.meta.edge_types.index("link")
+    feat = encoders.ShallowEncoder(dense_names=(ds.feature_idx,))
+    net = gnn.GNNNet(conv="sage", flow=flows.SageDataFlow([4], [(et,)]),
+                     dims=(16, 16), feature=feat)
+    model = autoencoders.GAE(embedder=net, edge_types=(et,), num_negs=3)
+    cfg = RunConfig(model_dir=str(tmp_path / "gae_est"), batch_size=32,
+                    total_steps=10, log_steps=0, metric="mrr",
+                    save_steps=0)
+    est = GaeEstimator(model, graph, cfg,
+                       train_node_type=ds.train_node_type)
+    est.train()
+    idf = tmp_path / "ids.txt"
+    idf.write_text("\n".join(str(i) for i in ds.test_ids[:40]))
+    out = est.evaluate_id_file(str(idf))
+    assert "mrr" in out and 0.0 <= out["mrr"] <= 1.0
+
+
+def test_sample_estimator_trains_from_file(sbm, tmp_path):
+    """SampleEstimator: batches come from the precomputed sample file,
+    not on-graph sampling (reference: sample_estimator.py)."""
+    import jax
+    import numpy as np
+    from euler_tpu.estimator.estimator import SampleEstimator
+    ds, graph = sbm
+    et = graph.meta.edge_types.index("link")
+    model = _node_model(ds, "sage", flows.SageDataFlow([4], [(et,)]))
+    ids = np.asarray(ds.test_ids[:50])
+    f = tmp_path / "samples.txt"
+    f.write_text("\n".join(str(i) for i in ids))
+    cfg = RunConfig(model_dir=str(tmp_path / "sample_est"),
+                    batch_size=16, total_steps=12, log_steps=0,
+                    save_steps=0)
+    est = SampleEstimator(model, graph, cfg, samples=str(f))
+    # batches draw only file rows
+    batch = np.asarray(est.train_batch(graph.tensors,
+                                       jax.random.PRNGKey(0)))
+    assert batch.shape == (16,) and set(batch.tolist()) <= set(
+        ids.tolist())
+    out = est.train()
+    assert np.isfinite(out["loss"])
