@@ -487,17 +487,20 @@ class Graph:
 
 
 def load_graph(path: str, device_put: bool = True,
-               feature_dtype=None) -> Graph:
+               feature_dtype=None,
+               packs: Tuple[str, ...] = Graph.ALL_PACKS) -> Graph:
     """Load a converted shard directory (see convert.convert_json_graph).
 
     ``feature_dtype=jnp.bfloat16`` stores dense features half-width in
     HBM — the biggest lever on sampled-training feature traffic (see
-    Graph.__init__)."""
+    Graph.__init__). ``packs`` selects the hot-path layouts to build
+    (huge-graph loads pick only what their access pattern reads —
+    every pack is O(E) or O(N*max_deg) extra host memory)."""
     from euler_tpu.utils import io as _io
     with _io.open_file(_io.join(path, _convert.META_FILE), "r") as f:
         meta = GraphMeta.from_json(f.read())
     return Graph(meta, _load_parts(path), device_put=device_put,
-                 feature_dtype=feature_dtype)
+                 feature_dtype=feature_dtype, packs=packs)
 
 
 # ---- module-level default graph (tf_euler-style convenience) --------------

@@ -610,32 +610,26 @@ def sample_neighbor_sharded(view: ShardView, key, nodes, ets, count,
     (see _owner_cap) keeps per-shard pack gathers O(b) when active."""
     nodes = jnp.asarray(nodes, jnp.int32)
     b = nodes.shape[0]
-    spread = _spread(view, nodes)
     S = view.num_shards
-    cap = _owner_cap(b, S)
+    cap = _owner_cap(b, S, sampler=True)
     if cap is not None:
-        buf_row, buf_has, slot_of, sel_ok = _compact_owned(view, spread,
-                                                           cap)
-        cnodes = jnp.where(buf_has, spread[buf_row], -1)
-        nbr, w, ty, eid, ok = _sample_neighbor_local(
-            view, key, cnodes, ets, count, default_id)
-        ok = ok & buf_has[:, None]
-        # fan the per-slot answers back out to every duplicate spread
-        # row (gather on slot_of); duplicate roots share one draw set
-        sl = jnp.minimum(slot_of, cap - 1)
-        mask = sel_ok[:, None] & ok[sl]
+        # compact request routing: per-owner distinct-id tables ride
+        # the wire, owners answer locally, answers route back —
+        # duplicate roots share one draw set (see _request_route)
+        def answer(flat_ids):
+            nbr, w, ty, eid, ok = _sample_neighbor_local(
+                view, key, flat_ids, ets, count, default_id)
+            return (jnp.where(ok, nbr, default_id),
+                    jnp.where(ok, w, 0.0),
+                    jnp.where(ok, ty, -1),
+                    jnp.where(ok, eid, -1))
 
-        def back(x, fill):
-            return jnp.where(mask, x[sl], fill)
-
-        nbr_f = back(nbr, jnp.int32(default_id))
-        w_f = back(w, jnp.float32(0))
-        ty_f = back(ty, jnp.int32(-1))
-        eid_f = back(eid, jnp.int32(-1))
-        return (_route_ids(view, mask, nbr_f, b, default_id),
-                _route_vals(view, mask, w_f, b),
-                _route_ids(view, mask, ty_f, b, -1),
-                _route_ids(view, mask, eid_f, b, -1))
+        (nbr, w, ty, eid), _served = _request_route(
+            view, nodes, answer,
+            fills=(jnp.int32(default_id), jnp.float32(0),
+                   jnp.int32(-1), jnp.int32(-1)))
+        return nbr, w, ty, eid
+    spread = _spread(view, nodes)
 
     owned, _ = _own_rows(view, spread)
     nbr, w, ty, eid, ok = _sample_neighbor_local(
@@ -706,13 +700,15 @@ def _sample_neighbor_local(view: ShardView, key, nodes, ets, count,
 
 
 # --- owner-compute gating (VERDICT r3 #4: per-shard gather count must
-# not scale with S). When enabled, each shard compacts the S*b spread
-# rows down to the <= OWNER_COMPUTE_SLACK*b rows it OWNS before doing
-# the expensive pack gathers; rows past capacity degrade to explicit
-# invalid padding (never garbage). Auto-gated: small or skewed batches
-# (b < OWNER_COMPUTE_MIN * S) keep the exact full-spread path, so worst
-# -case ownership skew cannot overflow in the regimes that use it.
+# not scale with S). When enabled, verbs use COMPACT REQUEST ROUTING
+# (_request_route): per-owner distinct-id tables ride the wire instead
+# of dense [S*b] spreads, so both per-shard work AND per-device ICI are
+# O(b), independent of S. Rows past the static per-owner capacity
+# degrade to explicit invalid padding (never garbage). Auto-gated:
+# small batches (b < OWNER_COMPUTE_MIN * S) keep the exact full-spread
+# path, where worst-case skew cannot overflow.
 OWNER_COMPUTE_SLACK = 4
+OWNER_ROUTE_SLACK = 2         # request-table slack over the b/S mean
 OWNER_COMPUTE_MIN = 16
 _owner_compute_force = None   # tests: True/False override
 
@@ -722,50 +718,114 @@ def set_owner_compute(flag):
     _owner_compute_force = flag
 
 
-def _owner_cap(b, S):
-    """Capacity of the compacted buffer, or None for the exact path."""
+def _owner_cap(b, S, sampler: bool = False):
+    """Capacity marker for the request-routed path (a positive int), or
+    None for the exact full-spread path.
+
+    Feature-like verbs (deterministic answers) route compactly whenever
+    there are >= 2 shards — deduplication cannot change their results.
+    SAMPLERS only switch in the large-S regime (S > OWNER_COMPUTE_SLACK)
+    where the O(S*b) spread is unaffordable: under request routing,
+    duplicate ids within one member's batch share a draw set (exact
+    marginals, correlated within the batch), which small-S exact paths
+    avoid."""
     if _owner_compute_force is False:
         return None
     cap = min(OWNER_COMPUTE_SLACK * b, S * b)
     if _owner_compute_force:
         return cap
-    if S <= OWNER_COMPUTE_SLACK or b < OWNER_COMPUTE_MIN * S:
+    if b < OWNER_COMPUTE_MIN * S:
+        return None
+    if S < 2 or (sampler and S <= OWNER_COMPUTE_SLACK):
         return None
     return cap
 
 
-def _compact_owned(view: ShardView, spread_nodes, cap):
-    """Dedup + compact the spread rows this shard owns.
+def _request_route(view: ShardView, ids, answer_fn, fills,
+                   key=None):
+    """Owner-compute with COMPACT request routing (zero scatters).
 
-    Returns ``(buf_row [cap], buf_has [cap], slot_of [S*b], sel_ok
-    [S*b])``: ``buf_row`` holds one representative spread-row index per
-    DISTINCT owned id (sort + segment-unique), ``slot_of`` maps every
-    spread row to its id's buffer slot (``cap`` when unserved), and
-    ``sel_ok`` marks served rows. Duplicate ids collapse into one slot
-    and fan back out through a gather on ``slot_of`` — so a hub id
-    repeated across the whole spread consumes ONE slot, and buffer
-    overflow needs > ``cap`` DISTINCT owned ids (> OWNER_COMPUTE_SLACK x
-    ownership skew over the uniform id%S split — vanishingly unlikely in
-    the auto-gated regime, vs. routine on power-law frontiers before the
-    dedup). Residual past-cap rows still degrade to explicit invalid
-    padding, never garbage."""
-    owned, _ = _own_rows(view, spread_nodes)
-    n = spread_nodes.shape[0]
-    big = jnp.int32(2 ** 31 - 1)
-    keys = jnp.where(owned, spread_nodes, big)   # non-owned sort to the end
-    order = jnp.argsort(keys)
-    sid = keys[order]
-    own_s = sid != big
-    is_new = own_s & jnp.concatenate(
-        [jnp.ones((1,), bool), sid[1:] != sid[:-1]])
-    slot_s = jnp.cumsum(is_new.astype(jnp.int32)) - 1
-    slot_s = jnp.where(own_s & (slot_s >= 0) & (slot_s < cap), slot_s, cap)
-    slot_of = jnp.full((n,), cap, jnp.int32).at[order].set(slot_s)
-    sel_ok = slot_of < cap
-    tgt = jnp.where(is_new, slot_s, cap)         # slot_s already cap-masked
-    buf_row = jnp.zeros((cap,), jnp.int32).at[tgt].set(order, mode="drop")
-    buf_has = jnp.zeros((cap,), bool).at[tgt].set(True, mode="drop")
-    return buf_row, buf_has, slot_of, sel_ok
+    The dense owner-routing (_spread + _owner_to_mine) moves [S*b, W]
+    values through the all_to_all, (S-1)/S of them structural zeros —
+    1.8 GB/step/device for the bench feature fetch at S=4
+    (tools/scaling_bench.py ICI accounting, r5). This replaces it for
+    the owner-compute verbs with the reference's actual architecture
+    (route REQUESTS to owners, id_split_op.cc:46-48) in static shapes:
+
+      1. sort my b query ids by (owner, id); dedup; rank distinct ids
+         per owner (duplicates share their representative's rank)
+      2. all_to_all the per-owner distinct-id request tables
+         [S, cap_out] (cap_out = SLACK*b/S — per-device ICI is now
+         INDEPENDENT of S)
+      3. each owner answers its received [S, cap_out] ids locally
+         (``answer_fn(flat_ids) -> tuple of [S*cap_out, ...] arrays``)
+      4. all_to_all the answers back; every query row gathers its
+         answer at (owner, rank) — both sides derive the same ranking
+         independently, so no positions ride the wire
+
+    Everything is argsort/searchsorted/gather — no XLA scatter (serialized
+    on TPU, micro_spmm.py) anywhere. Rows whose (owner, rank) overflows
+    cap_out degrade to explicit fills, like the owner-compute buffer.
+    Returns (outputs tuple matching fills, served [b] bool).
+    """
+    from euler_tpu.parallel import comms
+    S = view.num_shards
+    ids = jnp.asarray(ids, jnp.int32)
+    b = ids.shape[0]
+    # an owner holds at most n_local distinct ids, so the request table
+    # never needs more rows than that — for small graphs this caps the
+    # exchange at O(N/S) rows regardless of batch; for huge graphs the
+    # ROUTE_SLACK*b/S bound keeps it O(b) with 2x skew headroom
+    n_local = view.node_type.shape[0]
+    cap_out = max(1, min(b, -(-OWNER_ROUTE_SLACK * b // S), n_local))
+    valid = ids >= 0
+    owner = jnp.where(valid, ids % S, S)
+    IMAX = jnp.iinfo(jnp.int32).max
+    # lexicographic (owner, id) order via two STABLE sorts (x64 is off;
+    # a fused 64-bit key would silently truncate)
+    order1 = jnp.argsort(jnp.where(valid, ids, IMAX), stable=True)
+    order = order1[jnp.argsort(owner[order1], stable=True)]
+    inv = jnp.argsort(order)                      # double argsort = inverse
+    own_s = owner[order]
+    ids_s = ids[order]
+    ok_s = ids_s >= 0
+    is_new = ok_s & jnp.concatenate(
+        [jnp.ones((1,), bool),
+         (own_s[1:] != own_s[:-1]) | (ids_s[1:] != ids_s[:-1])])
+    grank = jnp.cumsum(is_new.astype(jnp.int32)) - 1   # dups share rank
+    pos0 = jnp.searchsorted(own_s, jnp.arange(S, dtype=own_s.dtype),
+                            side="left").astype(jnp.int32)
+    base = grank[jnp.clip(pos0, 0, b - 1)]
+    crank = grank - base[jnp.clip(own_s, 0, S - 1)]    # rank within owner
+    # request table req[o, c] = the distinct id with (owner o, rank c):
+    # binary search over the (owner, rank) keys, which are sorted and
+    # fit int32 (owner*(b+1)+rank <= S*(b+1)+b)
+    kq = jnp.where(ok_s, own_s * (b + 1) + jnp.clip(crank, 0, b), IMAX)
+    want = (jnp.arange(S, dtype=jnp.int32)[:, None] * (b + 1)
+            + jnp.arange(cap_out, dtype=jnp.int32)[None, :])
+    p = jnp.searchsorted(kq, want.reshape(-1), side="left")
+    p = jnp.clip(p, 0, b - 1).astype(jnp.int32)
+    hit = kq[p] == want.reshape(-1)
+    req = jnp.where(hit, ids_s[p], -1).reshape(S, cap_out)
+
+    reqs = comms.all_to_all(req, view.axis, split_axis=0, concat_axis=0,
+                            tiled=True).reshape(S, cap_out)
+    answers = answer_fn(reqs.reshape(-1))         # tuple of [S*cap_out,...]
+    outs = []
+    for a, fill in zip(answers, fills):
+        a = a.reshape((S, cap_out) + a.shape[1:])
+        back = comms.all_to_all(a, view.axis, split_axis=0,
+                                concat_axis=0, tiled=True)
+        back = back.reshape((S, cap_out) + a.shape[2:])
+        # my row i -> (owner[i], crank at its sorted position)
+        c_i = crank[inv]
+        served = valid & (c_i < cap_out)
+        o_i = jnp.clip(owner, 0, S - 1)
+        got = back[o_i, jnp.clip(c_i, 0, cap_out - 1)]
+        ok_shape = (b,) + (1,) * (got.ndim - 1)
+        outs.append(jnp.where(served.reshape(ok_shape), got, fill))
+    c_i = crank[inv]
+    return tuple(outs), valid & (c_i < cap_out)
 
 
 def sample_neighbor_fast_sharded(view: ShardView, key, nodes, ets, count,
@@ -782,23 +842,22 @@ def sample_neighbor_fast_sharded(view: ShardView, key, nodes, ets, count,
     """
     nodes = jnp.asarray(nodes, jnp.int32)
     b = nodes.shape[0]
-    spread = _spread(view, nodes)
     S = view.num_shards
-    cap = _owner_cap(b, S)
+    cap = _owner_cap(b, S, sampler=True)
     if cap is not None:
-        buf_row, buf_has, slot_of, sel_ok = _compact_owned(view, spread,
-                                                           cap)
-        cnodes = jnp.where(buf_has, spread[buf_row], -1)
-        ids_c, ok_c = _fan_draw_local(view, key, cnodes, ets, count,
-                                      default_id)
-        ok_c = ok_c & buf_has[:, None]
-        sl = jnp.minimum(slot_of, cap - 1)
-        mask = sel_ok[:, None] & ok_c[sl]
-        ids_full = jnp.where(mask, ids_c[sl], default_id)
-        ids = _route_ids(view, mask, ids_full, b, default_id)
-        valid = _route_vals(view, mask, mask.astype(jnp.int32), b) > 0
+        def answer(flat_ids):
+            ids_c, ok_c = _fan_draw_local(view, key, flat_ids, ets,
+                                          count, default_id)
+            return (jnp.where(ok_c, ids_c, default_id),
+                    ok_c.astype(jnp.int8))
+
+        (ids, okv), served = _request_route(
+            view, nodes, answer,
+            fills=(jnp.int32(default_id), jnp.int8(0)))
+        valid = (okv > 0) & served[:, None]
         return jnp.where(valid, ids, default_id), valid
 
+    spread = _spread(view, nodes)
     owned, _ = _own_rows(view, spread)
     ids_all, ok_all = _fan_draw_local(view, key, spread, ets, count,
                                       default_id)
@@ -874,23 +933,23 @@ def get_dense_feature_sharded(view: ShardView, nodes, names):
     shape_in = nodes.shape
     flat_in = nodes.reshape(-1)
     b = flat_in.shape[0]
-    flat_all = _spread(view, flat_in)
     S = view.num_shards
     cap = _owner_cap(b, S)
     out = []
     if cap is not None:
-        buf_row, buf_has, slot_of, sel_ok = _compact_owned(view, flat_all,
-                                                           cap)
-        crow = jnp.clip(jnp.maximum(flat_all[buf_row], 0) // S, 0,
-                        view.node_type.shape[0] - 1)
-        sl = jnp.minimum(slot_of, cap - 1)
-        for n in names:
-            tab = view.dense_nf[n]
-            vc = jnp.where(buf_has[:, None], tab[crow], 0.0)
-            v = jnp.where(sel_ok[:, None], vc[sl], 0.0)
-            v = _owner_to_mine(view, v, b)
-            out.append(v.reshape(shape_in + (tab.shape[-1],)))
-        return out
+        def answer(flat_ids):
+            crow = jnp.clip(jnp.maximum(flat_ids, 0) // S, 0,
+                            view.node_type.shape[0] - 1)
+            return tuple(
+                jnp.where((flat_ids >= 0)[:, None],
+                          view.dense_nf[n][crow], 0)
+                for n in names)
+
+        outs, _served = _request_route(view, flat_in, answer,
+                                       fills=(0,) * len(names))
+        return [v.reshape(shape_in + (view.dense_nf[n].shape[-1],))
+                for n, v in zip(names, outs)]
+    flat_all = _spread(view, flat_in)
     owned, rows = _own_rows(view, flat_all)
     for n in names:
         tab = view.dense_nf[n]
@@ -905,24 +964,25 @@ def get_sparse_feature_sharded(view: ShardView, nodes, names):
     shape_in = nodes.shape
     flat_in = nodes.reshape(-1)
     b = flat_in.shape[0]
-    flat_all = _spread(view, flat_in)
     S = view.num_shards
     cap = _owner_cap(b, S)
     out = []
     if cap is not None:
-        buf_row, buf_has, slot_of, sel_ok = _compact_owned(view, flat_all,
-                                                           cap)
-        crow = jnp.clip(jnp.maximum(flat_all[buf_row], 0) // S, 0,
-                        view.node_type.shape[0] - 1)
-        sl = jnp.minimum(slot_of, cap - 1)
-        for n in names:
-            tab, _ = view.sparse_nf[n]
-            vc = jnp.where(buf_has[:, None], tab[crow] + 1, 0)
-            v = jnp.where(sel_ok[:, None], vc[sl], 0)
-            ids = _owner_to_mine(view, v, b) - 1
-            ids = ids.reshape(shape_in + (tab.shape[-1],))
+        def answer(flat_ids):
+            crow = jnp.clip(jnp.maximum(flat_ids, 0) // S, 0,
+                            view.node_type.shape[0] - 1)
+            return tuple(
+                jnp.where((flat_ids >= 0)[:, None],
+                          view.sparse_nf[n][0][crow], -1)
+                for n in names)
+
+        outs, _served = _request_route(view, flat_in, answer,
+                                       fills=(jnp.int32(-1),) * len(names))
+        for n, ids in zip(names, outs):
+            ids = ids.reshape(shape_in + (view.sparse_nf[n][0].shape[-1],))
             out.append((ids, ids >= 0))
         return out
+    flat_all = _spread(view, flat_in)
     owned, rows = _own_rows(view, flat_all)
     for n in names:
         tab, _ = view.sparse_nf[n]
@@ -938,18 +998,19 @@ def get_node_type_sharded(view: ShardView, nodes):
     shape_in = nodes.shape
     flat_in = nodes.reshape(-1)
     b = flat_in.shape[0]
-    flat_all = _spread(view, flat_in)
     S = view.num_shards
     cap = _owner_cap(b, S)
     if cap is not None:
-        buf_row, buf_has, slot_of, sel_ok = _compact_owned(view, flat_all,
-                                                           cap)
-        crow = jnp.clip(jnp.maximum(flat_all[buf_row], 0) // S, 0,
-                        view.node_type.shape[0] - 1)
-        sl = jnp.minimum(slot_of, cap - 1)
-        vc = jnp.where(buf_has, view.node_type[crow] + 1, 0)
-        v = jnp.where(sel_ok, vc[sl], 0)
-        return (_owner_to_mine(view, v, b) - 1).reshape(shape_in)
+        def answer(flat_ids):
+            crow = jnp.clip(jnp.maximum(flat_ids, 0) // S, 0,
+                            view.node_type.shape[0] - 1)
+            return (jnp.where(flat_ids >= 0,
+                              view.node_type[crow], -1),)
+
+        (ty,), _served = _request_route(view, flat_in, answer,
+                                        fills=(jnp.int32(-1),))
+        return ty.reshape(shape_in)
+    flat_all = _spread(view, flat_in)
     owned, rows = _own_rows(view, flat_all)
     ty = jnp.where(owned, view.node_type[rows] + 1, 0)
     return (_owner_to_mine(view, ty, b) - 1).reshape(shape_in)
