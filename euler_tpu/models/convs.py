@@ -91,18 +91,28 @@ class GATConv(nn.Module):
         x_tgt, x_src = x
         mask = block.mask
         fc = nn.Dense(self.dim, use_bias=False)
-        h_tgt, h_src = fc(x_tgt), fc(x_src)
-        # per-edge score a_i + a_j: project on the (much smaller) node sets
-        # and expand per edge (linear ops commute with the gather)
-        alpha = (block.gather_tgt(nn.Dense(1, use_bias=False)(h_tgt)) +
-                 block.gather_src(nn.Dense(1, use_bias=False)(h_src)))
+        a1 = nn.Dense(1, use_bias=False)
+        a2 = nn.Dense(1, use_bias=False)
+        # Everything here is linear in fc's projection, so NEVER project
+        # the [S_src, dim] source set: attention scores compose the two
+        # projections into one [D_in, 1] vector each (a(fc(x)) =
+        # x @ (K_fc K_a) — K_fc extracted by applying fc to the
+        # identity), and aggregation runs on RAW features with fc
+        # applied to the [T, D_in] result. Exact same math/params; the
+        # source-set matmul + its backward were 60% of GAT's premium
+        # over sage on-chip (tools/micro/gat_decomp.py).
+        eye = jnp.eye(x_src.shape[-1], dtype=x_src.dtype)
+        K = fc(eye)                                   # [D_in, dim]
+        w1, w2 = a1(K), a2(K)                         # [D_in, 1]
+        alpha = (block.gather_tgt(x_tgt @ w1) +
+                 block.gather_src(x_src @ w2))
         # tf.nn.leaky_relu's default alpha is 0.2 (gat_conv.py:66), NOT
         # flax's 0.01 — this changed attention values measurably
         alpha = nn.leaky_relu(alpha, negative_slope=0.2)
         alpha = block.softmax(alpha, mask)
-        out = block.aggregate_neighbors("add", h_src, scale=alpha)
+        out = fc(block.aggregate_neighbors("add", x_src, scale=alpha))
         if self.improved:
-            out = h_tgt + out
+            out = fc(x_tgt) + out
         return out
 
 
