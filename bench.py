@@ -283,11 +283,13 @@ def child():
         print(json.dumps(out), flush=True)
 
     _stage("build_graph")
-    # all sampled modes ride the 128-lane fan rows; rgcn gets per-draw
-    # edge types from the typed fast path (no payload gathers)
+    # all sampled modes ride 128-lane fan rows; rgcn uses the UNION fan
+    # pack (one row per node over all types, typed draws decoded from
+    # the packed lanes — ops/alias.py FANU_*)
     graph = random_graph(n_nodes, avg_deg, seed=0, device_put=False,
                          num_edge_types=n_etypes,
-                         packs=("group", "fan"))
+                         packs=("group", "fanu") if rgcn
+                         else ("group", "fan"))
     g = graph.tensors
 
     # declare the feature specs the model reads, synthesize values on device
@@ -323,8 +325,16 @@ def child():
         adj_alias=put(g.adj_alias),
         node_alias=jax.tree.map(put, g.node_alias),
     )
-    g = g.replace(fan_pack=put(g.fan_pack),
-                  fan_over_rows=put(g.fan_over_rows), **common)
+    if rgcn:
+        g = g.replace(fanu_pack=put(g.fanu_pack),
+                      fanu_over_rows=put(g.fanu_over_rows),
+                      fanu_ptr=put(g.fanu_ptr), fanu_dst=put(g.fanu_dst),
+                      fanu_prob=put(g.fanu_prob),
+                      fanu_alias=put(g.fanu_alias),
+                      group_w_sum=put(g.group_w_sum), **common)
+    else:
+        g = g.replace(fan_pack=put(g.fan_pack),
+                      fan_over_rows=put(g.fan_over_rows), **common)
     _stage("graph_on_device")
 
     metapath = [tuple(range(n_etypes))] * 2

@@ -159,6 +159,18 @@ class GraphTensors:
     # refresh_fan_pack must redraw (ops/sampling.refresh_fan_rows)
     fan_over_rows: Optional[jnp.ndarray] = None  # int32 [K]
 
+    # UNION fan rows ("fanu" pack, ops/alias.py FANU_*): one row per
+    # NODE over all edge types, lanes packing (etype<<27)|dst — the
+    # multi-type draw costs one row gather + a decode. fanu_ptr/dst/
+    # prob/alias are the union-group CSR view the reservoir refresh
+    # redraws from.
+    fanu_pack: Optional[jnp.ndarray] = None      # int32 [N, 128]
+    fanu_over_rows: Optional[jnp.ndarray] = None  # int32 [K]
+    fanu_ptr: Optional[jnp.ndarray] = None       # int32 [N+1]
+    fanu_dst: Optional[jnp.ndarray] = None       # int32 [E] packed
+    fanu_prob: Optional[jnp.ndarray] = None      # f32   [E]
+    fanu_alias: Optional[jnp.ndarray] = None     # int32 [E]
+
     # prebuilt sorted attribute indexes (ops/index.AttrIndex): value-
     # sorted id arrays + weight prefix sums per indexed attribute, the
     # device-resident Hash/RangeSampleIndex (index_manager.h:34). Built
@@ -424,6 +436,23 @@ class Graph:
                 group_w_sum.reshape(-1)))
             pack_fields["fan_over_rows"] = put(np.nonzero(
                 np.diff(group_ptr) > FAN_D)[0].astype(np.int32))
+        if "fanu" in packs and n and len(adj_dst) and 2 <= net:
+            from euler_tpu.ops.alias import (FAN_D, FANU_MAX_TYPES,
+                                             FANU_SHIFT)
+            if n < (1 << FANU_SHIFT) and net <= FANU_MAX_TYPES:
+                node_ptr = group_ptr[::net].astype(np.int64)  # [N+1]
+                packed = (adj_type.astype(np.int32) << FANU_SHIFT) \
+                    | adj_dst
+                prob_u, alias_u = build_group_alias(node_ptr, adj_w)
+                wsum_u = group_w_sum.reshape(n, net).sum(axis=1)
+                pack_fields["fanu_pack"] = put(build_fan_pack(
+                    node_ptr, packed, prob_u, alias_u, wsum_u))
+                pack_fields["fanu_over_rows"] = put(np.nonzero(
+                    np.diff(node_ptr) > FAN_D)[0].astype(np.int32))
+                pack_fields["fanu_ptr"] = put(node_ptr.astype(np.int32))
+                pack_fields["fanu_dst"] = put(packed)
+                pack_fields["fanu_prob"] = put(prob_u)
+                pack_fields["fanu_alias"] = put(alias_u)
         if "ell" in packs and n and len(adj_dst):
             ell = _ell_pack_np(n, net, group_ptr, adj_dst, adj_w,
                                adj_eid, adj_type)

@@ -161,6 +161,17 @@ FAN_PROB_OFF = 2
 FAN_KEPT_OFF = FAN_PROB_OFF + FAN_D
 FAN_ALIAS_OFF = FAN_KEPT_OFF + FAN_D
 
+# Union fan rows (the "fanu" pack): ONE row per NODE over the union of
+# all edge types, kept/alias lanes packing (etype << FANU_SHIFT) | dst.
+# Fits graphs with < 2^27 nodes and <= 16 edge types (papers100M's 111M
+# nodes just fit); multi-type draws cost ONE row gather + a decode
+# instead of ET row gathers + a one-hot type contraction — the K=4 fan
+# gather was the entire RGCN-family premium on chip
+# (tools/micro/rgcn_decomp.py: 1.87 vs 0.52 ms for the hop-2 call).
+FANU_SHIFT = 27
+FANU_MASK = (1 << FANU_SHIFT) - 1
+FANU_MAX_TYPES = 16
+
 
 def build_fan_pack(group_ptr: np.ndarray, adj_dst: np.ndarray,
                    prob: np.ndarray, alias: np.ndarray,

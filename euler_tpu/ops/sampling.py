@@ -250,7 +250,10 @@ def sample_neighbor_fast(g: GraphTensors, key, nodes: Array, edge_types,
         nbr, w, ty, eid = sample_neighbor(g, key, nodes, ets, count,
                                           default_id)
         return (nbr, ty >= 0, ty) if return_types else (nbr, ty >= 0)
-    if getattr(g, "fan_pack", None) is None:
+    use_fanu = (getattr(g, "fanu_pack", None) is not None
+                and len(ets) > 1
+                and sorted(ets) == list(range(g.meta.num_edge_types)))
+    if getattr(g, "fan_pack", None) is None and not use_fanu:
         nbr, w, ty, eid = sample_neighbor(g, key, nodes, ets, count,
                                           default_id)
         return (nbr, ty >= 0, ty) if return_types else (nbr, ty >= 0)
@@ -260,6 +263,42 @@ def sample_neighbor_fast(g: GraphTensors, key, nodes: Array, edge_types,
     ET = g.meta.num_edge_types
     et_arr = jnp.asarray(ets, jnp.int32)
     K = len(ets)
+
+    if use_fanu:
+        # union fan row: ONE 128-lane gather per frontier node serves a
+        # multi-type draw; lanes pack (etype << FANU_SHIFT) | dst (see
+        # alias.py FANU_*). The per-type path below costs K row gathers
+        # + a one-hot type contraction — measured as the whole RGCN
+        # premium (tools/micro/rgcn_decomp.py)
+        from euler_tpu.ops.alias import FANU_MASK, FANU_SHIFT
+        packu = g.fanu_pack[rows]                         # [B, 128]
+        deg_c = jnp.broadcast_to(packu[:, 0:1], (B, count))
+        total = jax.lax.bitcast_convert_type(packu[:, 1], jnp.float32)
+        k1, k2 = jax.random.split(key)
+        u1 = jax.random.uniform(k1, (B, count))
+        u2 = jax.random.uniform(k2, (B, count))
+        from euler_tpu.ops import pallas_fan
+        if pallas_fan.enabled():
+            draw = pallas_fan.fan_draw(
+                packu, u1, u2,
+                interpret=jax.default_backend() != "tpu")
+        else:
+            slot = jnp.minimum((u1 * deg_c).astype(jnp.int32),
+                               jnp.maximum(deg_c - 1, 0))
+            oh = (slot[..., None] ==
+                  jnp.arange(FAN_D, dtype=jnp.int32)).astype(jnp.int32)
+            pick = lambda off: jnp.einsum(
+                "bcd,bd->bc", oh, packu[:, off:off + FAN_D])
+            prob = jax.lax.bitcast_convert_type(pick(FAN_PROB_OFF),
+                                                jnp.float32)
+            draw = jnp.where(u2 < prob, pick(FAN_KEPT_OFF),
+                             pick(FAN_ALIAS_OFF))
+        valid = (nodes >= 0)[:, None] & (deg_c > 0) & (total > 0)[:, None]
+        ids = jnp.where(valid, draw & FANU_MASK, default_id)
+        if return_types:
+            ty = jnp.where(valid, draw >> FANU_SHIFT, -1)
+            return ids, valid, ty
+        return ids, valid
 
     packs = g.fan_pack[rows[:, None] * ET + et_arr[None, :]]  # [B,K,128]
     deg = packs[..., 0]                                       # [B,K]
@@ -393,18 +432,24 @@ _refresh_fan_rows_jit = jax.jit(refresh_fan_rows)
 
 
 def refresh_fan_pack(g: GraphTensors, key) -> GraphTensors:
-    """Redraw the reservoir rows of fan_pack on device (one bulk pass).
+    """Redraw the reservoir rows of fan_pack (and the union fanu_pack)
+    on device (one bulk pass).
 
     Groups with degree > FAN_D hold FAN_D precomputed i.i.d. draws; calling
     this per epoch (or every RunConfig.reservoir_refresh steps) re-randomizes
     them so long runs see the full neighborhood of high-degree nodes.
     """
-    if getattr(g, "fan_pack", None) is None:
-        return g
-    fp = _refresh_fan_rows_jit(g.group_ptr, g.adj_dst, g.adj_prob,
-                               g.adj_alias, g.fan_pack, key,
-                               getattr(g, "fan_over_rows", None))
-    return g.replace(fan_pack=fp)
+    changed = {}
+    k1, k2 = jax.random.split(key)
+    if getattr(g, "fan_pack", None) is not None:
+        changed["fan_pack"] = _refresh_fan_rows_jit(
+            g.group_ptr, g.adj_dst, g.adj_prob, g.adj_alias, g.fan_pack,
+            k1, getattr(g, "fan_over_rows", None))
+    if getattr(g, "fanu_pack", None) is not None:
+        changed["fanu_pack"] = _refresh_fan_rows_jit(
+            g.fanu_ptr, g.fanu_dst, g.fanu_prob, g.fanu_alias,
+            g.fanu_pack, k2, g.fanu_over_rows)
+    return g.replace(**changed) if changed else g
 
 
 def _fetch_slots(g: GraphTensors, s: Array, ok: Array, default_id: int):

@@ -348,3 +348,46 @@ def test_fan_pack_reservoir_marginal():
     # aggregate over refreshes converges to the exact distribution
     # (noise ~ sqrt(p/ (K*FAN_D)) ~ 0.0024 at p=0.012; 4-sigma bound)
     np.testing.assert_allclose(freqs, expect, atol=0.01)
+
+
+def test_union_fan_pack_distribution_and_refresh(toy_graph):
+    """'fanu' pack: one union row per node; multi-type draws decode
+    (type, id) from packed lanes with the exact union-weighted
+    distribution; the payload verb's types/ids agree; reservoir rows
+    refresh."""
+    import jax
+    from euler_tpu.graph.store import Graph
+    from tests.fixtures import EDGES, toy_graph_json
+    from euler_tpu.graph import convert
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    convert.convert_json_graph(toy_graph_json(), d, n_partitions=1)
+    from euler_tpu.graph.store import load_graph
+    gph = load_graph(d, packs=("group", "fanu"))
+    g = gph.tensors
+    assert g.fanu_pack is not None and g.fan_pack is None
+    ets = (0, 1)
+    nodes = jnp.asarray([gph.local_id(100), gph.local_id(107), -1],
+                        jnp.int32)
+    nbr, valid, ty = sampling.sample_neighbor_fast(
+        g, jax.random.PRNGKey(8), nodes, ets, 30_000, return_types=True)
+    nbr, valid, ty = np.asarray(nbr), np.asarray(valid), np.asarray(ty)
+    assert not valid[1].any() and not valid[2].any()
+    assert ((ty == -1) == ~valid).all()
+    # node 100 union: click w(101)=1, w(103)=3; buy w(105)=2 -> total 6
+    exts = gph.ext_ids[np.maximum(nbr[0], 0)]
+    names = gph.meta.edge_types
+    legal = {(d_, t) for s, d_, t, w in EDGES if s == 100}
+    assert {(int(e), names[int(t)])
+            for e, t in zip(exts, ty[0])} <= legal
+    freq = {e: (exts == e).mean() for e in (101, 103, 105)}
+    np.testing.assert_allclose(
+        [freq[101], freq[103], freq[105]], [1 / 6, 3 / 6, 2 / 6],
+        atol=0.02)
+    # refresh runs and keeps the pack shape (toy groups are all exact,
+    # so values are unchanged; just exercise the path)
+    g2 = sampling.refresh_fan_pack(g, jax.random.PRNGKey(9))
+    assert g2.fanu_pack.shape == g.fanu_pack.shape
+    n2, v2, t2 = sampling.sample_neighbor_fast(
+        g2, jax.random.PRNGKey(10), nodes, ets, 64, return_types=True)
+    assert np.asarray(v2)[0].all()
