@@ -72,9 +72,27 @@ class Block:
     # method set is the TPU-native replacement for the reference's
     # per-edge gather -> scatter_(aggr) contract (conv.py:27-53).
 
+    def _is_compact(self, x_src) -> bool:
+        """True when x_src is the per-node [N, ...] table of a
+        whole-graph ELL block rather than the expanded source set."""
+        return (self.ell_tpos is not None
+                and x_src.shape[0] == self.size[0] != self.size[1])
+
+    def _expand(self, x: Array) -> Array:
+        """Compact [N, ...] -> expanded source set. Routed through
+        ell_expand's transpose-gather vjp for 2-D features (still pays
+        an [N·C, D] cotangent read — prefer aggregate_neighbors, which
+        fuses the whole round trip through _ell_agg)."""
+        if x.ndim == 2:
+            return ell_expand(x, self.n_id, self.ell_tpos)
+        return jnp.where((self.n_id >= 0).reshape(
+            (-1,) + (1,) * (x.ndim - 1)), x[jnp.maximum(self.n_id, 0)], 0)
+
     def gather_src(self, x_src: Array) -> Array:
         """Per-edge view of source values: x_src[edge_index[1]]."""
         from euler_tpu.ops import mp_ops
+        if self._is_compact(x_src):
+            x_src = self._expand(x_src)
         if self.fanout is None:
             return mp_ops.gather(x_src, self.edge_index[1])
         T = self.size[0]
@@ -173,6 +191,10 @@ class Block:
         from euler_tpu.ops import mp_ops
         if scale is not None and scale.ndim == 1:
             scale = scale[:, None]
+        if self._is_compact(x_src):
+            if op in ("add", "mean") and x_src.ndim == 2:
+                return self._ell_aggregate(op, x_src, mask, scale)
+            x_src = self._expand(x_src)
         if self.fanout is None:
             xj = mp_ops.gather(x_src, self.edge_index[1])
             if scale is not None:
@@ -193,6 +215,29 @@ class Block:
                 up_l = up_l * s_l
         m_s, m_l = self._split_mask(mask, x_src.dtype, x_src.ndim - 1)
         return self._reduce(op, up_s, up_l, m_s, m_l)
+
+    def _ell_aggregate(self, op: str, x: Array, mask, scale) -> Array:
+        """add/mean aggregation straight from the compact [N, D] table
+        through the fused _ell_agg (VMEM-friendly vjp)."""
+        T, C = self.size[0], self.fanout
+        eff = jnp.ones((self.edge_index.shape[1],), jnp.float32)
+        if scale is not None:
+            eff = eff * scale.reshape(-1).astype(jnp.float32)
+        if mask is not None:
+            eff = eff * mask.astype(jnp.float32)
+        w_s = eff[:T * C].reshape(T, C)
+        w_l = eff[T * C:] if self.self_loops \
+            else jnp.zeros((T,), jnp.float32)
+        nbr = self.n_id[T:].reshape(T, C)
+        out = _ell_agg(C, x, w_s, w_l, nbr, self.ell_tpos)
+        if op == "add":
+            return out
+        if mask is None:                       # generic-path parity:
+            cnt = float(C) + (1.0 if self.self_loops else 0.0)
+            return out / (cnt + 1e-7)
+        cnt_s = mask[:T * C].reshape(T, C).sum(axis=1)
+        cnt = cnt_s + (mask[T * C:] if self.self_loops else 0.0)
+        return out / jnp.maximum(cnt, 1e-7)[:, None].astype(out.dtype)
 
     def softmax(self, scores: Array, mask: Optional[Array] = None) -> Array:
         """Per-target segment softmax of per-edge scores (masked edges get
@@ -281,6 +326,56 @@ def _ell_expand_bwd(res, g):
 
 
 ell_expand.defvjp(_ell_expand_fwd, _ell_expand_bwd)
+
+
+import functools
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _ell_agg(C: int, x: Array, w_s: Array, w_l: Array, nbr: Array,
+             tpos: Array) -> Array:
+    """Fused whole-graph ELL aggregate: out[t] = Σ_c x[nbr[t,c]]·w_s[t,c]
+    (+ x[t]·w_l[t] for the self loop), x compact [N, D].
+
+    The vjp is the whole point: the naive composition (expand x to the
+    [N·C, D] source set, reduce) backprops through a gather whose
+    cotangent array is N·C rows — far past XLA's VMEM staging threshold,
+    so its transpose gather runs at the ~11ns/row HBM floor (123ms of a
+    128ms full-graph GCN step, /tmp bisect r5). Here BOTH directions
+    gather only from [N, D] arrays (VMEM-stageable):
+
+      grad_x[u] = Σ_{cells p=tpos[u,c]} g[p//C] · w_flat[p]  + g[u]·w_l[u]
+      grad_w_s[t,c] = g[t] · x[nbr[t,c]]
+    """
+    rows = jnp.where((nbr >= 0)[..., None],
+                     x[jnp.maximum(nbr, 0)], 0)
+    out = (rows * w_s[..., None].astype(x.dtype)).sum(axis=1)
+    return out + x * w_l[:, None].astype(x.dtype)
+
+
+def _ell_agg_fwd(C, x, w_s, w_l, nbr, tpos):
+    return _ell_agg(C, x, w_s, w_l, nbr, tpos), (x, w_s, w_l, nbr, tpos)
+
+
+def _ell_agg_bwd(C, res, g):
+    x, w_s, w_l, nbr, tpos = res
+    N = g.shape[0]
+    ok = tpos >= 0
+    tr = jnp.clip(tpos // C, 0, N - 1)
+    gv = g[tr]                                        # [N, C_in, D]
+    wv = w_s.reshape(-1)[jnp.clip(tpos, 0, w_s.size - 1)]
+    grad_x = (gv * jnp.where(ok, wv, 0.0)[..., None].astype(g.dtype)
+              ).sum(axis=1) + g * w_l[:, None].astype(g.dtype)
+    rows = jnp.where((nbr >= 0)[..., None], x[jnp.maximum(nbr, 0)], 0)
+    grad_ws = jnp.einsum("td,tcd->tc", g.astype(jnp.float32),
+                         rows.astype(jnp.float32))
+    grad_wl = jnp.einsum("td,td->t", g.astype(jnp.float32),
+                         x.astype(jnp.float32))
+    return grad_x.astype(x.dtype), grad_ws.astype(w_s.dtype), \
+        grad_wl.astype(w_l.dtype), None, None
+
+
+_ell_agg.defvjp(_ell_agg_fwd, _ell_agg_bwd)
 
 
 def fanout_block(targets: Array, sampled: Array, weights: Array,

@@ -64,7 +64,13 @@ class GNNNet(nn.Module):
                 "flow with typed=True (fast path + per-draw types) or "
                 "payload=True (fast ids-only sampling carries e_id=-1)")
         blocks = self.flow(g, key, roots)
-        if self.dedup_features:
+        if blocks and blocks[0].ell_tpos is not None:
+            # whole-graph ELL-pack blocks: keep x COMPACT ([N, D], the
+            # per-node table) through every layer — convs aggregate
+            # straight from it via the fused _ell_agg vjp, so neither
+            # direction ever touches an [N*C, D] source-set tensor
+            x = self.feature(g, blocks[0].n_id[: blocks[0].size[0]])
+        elif self.dedup_features:
             from euler_tpu.ops.util_ops import unique_gather
             x = unique_gather(lambda ids: self.feature(g, ids),
                               blocks[0].n_id)
@@ -74,17 +80,12 @@ class GNNNet(nn.Module):
             x = x.astype(self.dtype)
         for i, block in enumerate(blocks):
             conv = self._make_conv(self.dims[i], i)
-            if x.shape[0] == block.size[0] != block.size[1]:
-                # whole-graph ELL block (WholeDataFlow cap/pack): x is
-                # the per-node [N, D] table; rebuild this layer's source
-                # set with one row gather — scatter-free backward when
-                # the transpose table is available
-                if block.ell_tpos is not None:
-                    from euler_tpu.dataflow.block import ell_expand
-                    x = ell_expand(x, block.n_id, block.ell_tpos)
-                else:
-                    x = jnp.where((block.n_id >= 0)[:, None],
-                                  x[jnp.maximum(block.n_id, 0)], 0)
+            if x.shape[0] == block.size[0] != block.size[1] and \
+                    block.ell_tpos is None:
+                # dynamic whole-graph ELL (no transpose pack): rebuild
+                # the source set with a plain row gather
+                x = jnp.where((block.n_id >= 0)[:, None],
+                              x[jnp.maximum(block.n_id, 0)], 0)
             x_tgt = x[: block.size[0]]
             if self.relation_from_etype:
                 # prefer the types the sampling verb already returned with
@@ -121,19 +122,19 @@ class JKGNNNet(nn.Module):
     def __call__(self, g: GraphTensors, roots: Array) -> Array:
         key = self.make_rng("sample")
         blocks = self.flow(g, key, roots)
-        x = self.feature(g, blocks[0].n_id)
+        if blocks and blocks[0].ell_tpos is not None:
+            x = self.feature(g, blocks[0].n_id[: blocks[0].size[0]])
+        else:
+            x = self.feature(g, blocks[0].n_id)
         jk_hidden = []
         cls = convs_lib.get_conv_class(self.conv)
         for i, block in enumerate(blocks):
             conv = cls(dim=self.dims[i], name=f"conv_{i}",
                        **(self.conv_kwargs or {}))
-            if x.shape[0] == block.size[0] != block.size[1]:
-                if block.ell_tpos is not None:
-                    from euler_tpu.dataflow.block import ell_expand
-                    x = ell_expand(x, block.n_id, block.ell_tpos)
-                else:
-                    x = jnp.where((block.n_id >= 0)[:, None],
-                                  x[jnp.maximum(block.n_id, 0)], 0)
+            if x.shape[0] == block.size[0] != block.size[1] and \
+                    block.ell_tpos is None:
+                x = jnp.where((block.n_id >= 0)[:, None],
+                              x[jnp.maximum(block.n_id, 0)], 0)
             x_tgt = x[: block.size[0]]
             x = nn.relu(conv((x_tgt, x), block))
             jk_hidden = [h[: block.size[0]] for h in jk_hidden]
