@@ -262,11 +262,15 @@ class ARMAConv(nn.Module):
                 "add", w(cur_src), scale=_edge_scale(ni, nj, block.mask))
             out = nn.relu(aggr + v(x_tgt))
             cur_tgt = out
-            cur_src = jnp.concatenate(
-                [out, jnp.broadcast_to(
-                    v(x_src)[size[0]:], (size[1] - size[0],
-                                         self.K * self.dim))], axis=0) \
-                if size[1] > size[0] else out
+            if size[1] > size[0] and x_src.shape[0] == size[1]:
+                cur_src = jnp.concatenate(
+                    [out, jnp.broadcast_to(
+                        v(x_src)[size[0]:], (size[1] - size[0],
+                                             self.K * self.dim))], axis=0)
+            else:
+                # whole-graph layouts (edge-list or compact ELL table):
+                # the next source set IS the per-node output
+                cur_src = out
         out = out.reshape(-1, self.K, self.dim)
         return jnp.mean(out, axis=1)
 
