@@ -66,6 +66,14 @@ class Block:
     # unsorted segment-scatter, 2-5x the cost of the reads it moves
     # (tools/micro/micro_spmm.py)
     ell_tpos: Optional[Array] = None
+    # distributed whole-graph blocks (WholeDataFlow under a mesh): each
+    # shard's block holds only its LOCAL edges over the global node
+    # space, so segment reductions produce PARTIAL per-node results that
+    # must complete with a collective over this axis. Set by
+    # flows.full_graph_block_sharded; scatter/aggregate/softmax/
+    # scatter_src_add finish with psum/pmax over it.
+    psum_axis: Optional[str] = struct.field(pytree_node=False,
+                                            default=None)
 
     # ---- index-free message passing over the block ------------------
     # Generic (irregular) blocks fall back to mp_ops gather/scatter; the
@@ -167,8 +175,38 @@ class Block:
     def scatter(self, op: str, updates: Array, mask: Optional[Array] = None
                 ) -> Array:
         """Aggregate per-edge updates into targets (segment_{op} over
-        edge_index[0], num_segments=size[0]); mask drops padded edges."""
+        edge_index[0], num_segments=size[0]); mask drops padded edges.
+        Distributed whole-graph blocks complete partial per-node results
+        with a collective over ``psum_axis``."""
         from euler_tpu.ops import mp_ops
+        if self.psum_axis is not None:
+            from euler_tpu.parallel import comms
+            ax = self.psum_axis
+            dst, T = self.edge_index[0], self.size[0]
+            if op == "add":
+                return comms.psum(
+                    mp_ops.masked_scatter_("add", updates, dst, T, mask),
+                    ax)
+            if op == "mean":
+                m = jnp.ones((updates.shape[0],), updates.dtype) \
+                    if mask is None else mask.astype(updates.dtype)
+                tot = comms.psum(mp_ops.masked_scatter_(
+                    "add", updates * m.reshape(
+                        (-1,) + (1,) * (updates.ndim - 1)), dst, T, None),
+                    ax)
+                cnt = comms.psum(mp_ops.scatter_add(
+                    m[:, None], dst, T), ax)
+                return tot / jnp.maximum(
+                    cnt.reshape((T,) + (1,) * (updates.ndim - 1)), 1e-7)
+            if op == "max":
+                neg = jnp.finfo(updates.dtype).min
+                up = updates if mask is None else jnp.where(
+                    mask.reshape((-1,) + (1,) * (updates.ndim - 1)) > 0,
+                    updates, neg)
+                loc = mp_ops._segment_max_raw(up, dst, T)
+                glob = jax.lax.pmax(loc, ax)
+                return jnp.where(glob <= neg * 0.5, 0.0, glob)
+            raise ValueError(op)
         if self.fanout is None:
             return mp_ops.masked_scatter_(op, updates, self.edge_index[0],
                                           self.size[0], mask)
@@ -199,6 +237,8 @@ class Block:
             xj = mp_ops.gather(x_src, self.edge_index[1])
             if scale is not None:
                 xj = xj * scale.astype(xj.dtype)
+            if self.psum_axis is not None:
+                return self.scatter(op, xj, mask)
             return mp_ops.masked_scatter_(op, xj, self.edge_index[0],
                                           self.size[0], mask)
         T, C = self.size[0], self.fanout
@@ -243,6 +283,22 @@ class Block:
         """Per-target segment softmax of per-edge scores (masked edges get
         probability 0); returns per-edge probabilities."""
         from euler_tpu.ops import mp_ops
+        if self.psum_axis is not None:
+            from euler_tpu.parallel import comms
+            ax = self.psum_axis
+            dst, T = self.edge_index[0], self.size[0]
+            neg = -1e30
+            z = scores if mask is None else jnp.where(
+                mask.reshape((-1,) + (1,) * (scores.ndim - 1)) > 0,
+                scores, neg)
+            mx = jax.lax.pmax(mp_ops._segment_max_raw(z, dst, T), ax)
+            mx = jnp.where(mx <= neg * 0.5, 0.0, mx)
+            e = jnp.exp(z - mp_ops.gather(mx, dst))
+            if mask is not None:
+                e = jnp.where(mask.reshape(
+                    (-1,) + (1,) * (scores.ndim - 1)) > 0, e, 0.0)
+            denom = comms.psum(mp_ops.scatter_add(e, dst, T), ax)
+            return e / jnp.maximum(mp_ops.gather(denom, dst), 1e-16)
         if self.fanout is None:
             return mp_ops.masked_scatter_softmax(scores, self.edge_index[0],
                                                  self.size[0], mask)
@@ -280,8 +336,12 @@ class Block:
             updates = updates * mask.reshape(
                 (-1,) + (1,) * (updates.ndim - 1)).astype(updates.dtype)
         if self.fanout is None:
-            return mp_ops.scatter_add(updates, self.edge_index[1],
-                                      self.size[1])
+            out = mp_ops.scatter_add(updates, self.edge_index[1],
+                                     self.size[1])
+            if self.psum_axis is not None:
+                from euler_tpu.parallel import comms
+                out = comms.psum(out, self.psum_axis)
+            return out
         T, C = self.size[0], self.fanout
         if self.shared_src:
             # shared layer: reduce each source column over all targets

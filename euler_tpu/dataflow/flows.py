@@ -144,6 +144,15 @@ class WholeDataFlow:
 
     def __call__(self, g, key, roots: Array):
         from euler_tpu.ops.sampling import _as_etypes
+        from euler_tpu.ops.dispatch import is_shard_view
+        if is_shard_view(g):
+            # distributed whole-graph propagation: each shard's block
+            # carries its LOCAL edges over the GLOBAL node space and
+            # segment reductions complete with psum/pmax over the graph
+            # axis (Block.psum_axis)
+            blk = full_graph_block_sharded(g, self.metapath[0],
+                                           self.add_self_loops)
+            return [blk] * self.num_layers
         have_pack = getattr(g, "ell_nbr", None) is not None
         use_ell = self.layout == "ell" or (
             self.layout == "auto" and (have_pack or self.cap is not None))
@@ -185,6 +194,52 @@ class WholeDataFlow:
             blk = full_graph_block(g, self.metapath[0],
                                    self.add_self_loops)
         return [blk] * self.num_layers
+
+
+def full_graph_block_sharded(view, edge_types, add_self_loops=True):
+    """One shard's whole-graph block: its local CSR edges addressed in
+    GLOBAL node ids, self-loops only for owned nodes (each node's loop
+    must appear on exactly one shard — the psum completion would double
+    -count it otherwise). Pairs with Block.psum_axis."""
+    from euler_tpu.ops.sampling import _as_etypes
+    ets = _as_etypes(view, edge_types)
+    N = view.meta.n_nodes
+    S = view.num_shards
+    ET = view.meta.num_edge_types
+    me = jax.lax.axis_index(view.axis)
+    gp = view.group_ptr
+    E = view.adj_dst.shape[0]                     # padded e_max
+    slots = jnp.arange(E, dtype=jnp.int32)
+    real = slots < gp[-1]
+    gidx = jnp.clip(jnp.searchsorted(gp, slots, side="right") - 1,
+                    0, gp.shape[0] - 2)
+    row = gidx // ET                              # local target row
+    dst = jnp.where(real, row * S + me, 0).astype(jnp.int32)
+    src = jnp.where(real & (view.adj_dst >= 0), view.adj_dst, 0)
+    sel = real & jnp.isin(view.adj_type,
+                          jnp.asarray(ets, jnp.int32)) \
+        & (view.adj_dst >= 0) & (dst < N)
+    mask = sel.astype(jnp.float32)
+    w = jnp.where(sel, view.adj_w, 0.0)
+    e_id = jnp.where(sel, view.adj_eid, -1)
+    if add_self_loops:
+        n_local = view.node_type.shape[0]
+        loop = (jnp.arange(n_local, dtype=jnp.int32) * S
+                + me).astype(jnp.int32)
+        ok = loop < N
+        loop = jnp.where(ok, loop, 0)
+        dst = jnp.concatenate([dst, loop])
+        src = jnp.concatenate([src, loop])
+        mask = jnp.concatenate([mask, ok.astype(jnp.float32)])
+        w = jnp.concatenate([w, jnp.ones((n_local,), w.dtype)])
+        e_id = jnp.concatenate([e_id,
+                                jnp.full((n_local,), -1, jnp.int32)])
+    return Block(
+        n_id=jnp.arange(N, dtype=jnp.int32),
+        res_n_id=jnp.arange(N, dtype=jnp.int32),
+        edge_index=jnp.stack([dst, src]),
+        e_id=e_id, edge_weight=w, mask=mask,
+        size=(N, N), psum_axis=view.axis)
 
 
 class LayerwiseDataFlow:

@@ -240,6 +240,11 @@ def sample_neighbor_fast(g: GraphTensors, key, nodes: Array, edge_types,
     draw already computes which type-group served each draw (the RGCN
     relation feed without the per-draw payload gathers of
     sample_neighbor). Use sample_neighbor for weights/eids.
+
+    Multi-type draws covering ALL edge types prefer the union fan pack
+    (``fanu``, one row gather + a lane decode) when the store built it.
+    Under a mesh, ``return_types`` routes through the full payload verb
+    (correct, slower); the sharded store does not carry union rows yet.
     """
     ets = _as_etypes(g, edge_types)
     if _is_shard_view(g):

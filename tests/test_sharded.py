@@ -540,3 +540,40 @@ def test_owner_compute_hub_mixed_batch_parity(toy_graph, sg4, mesh24):
     np.testing.assert_array_equal(got[1], ref[1])        # valid masks
     np.testing.assert_allclose(got[2], ref[2], rtol=1e-6)  # features
     np.testing.assert_array_equal(got[3], ref[3])        # node types
+
+
+def test_whole_flow_under_mesh_matches_single(toy_graph, sg4, mesh24):
+    """WholeDataFlow under the mesh: each shard aggregates its LOCAL
+    edges over the global node space and completes with psum
+    (Block.psum_axis) — the distributed SpMM. Deterministic, so the
+    2-layer GCN forward must match the single-chip whole block
+    exactly."""
+    from euler_tpu.dataflow import flows
+    from euler_tpu.models import encoders, gnn
+    g = toy_graph.tensors
+    feat = encoders.ShallowEncoder(dense_names=("dense2",))
+    net = gnn.GNNNet(conv="gcn",
+                     flow=flows.WholeDataFlow(2, [(0, 1)],
+                                              layout="edge_list"),
+                     dims=(8, 4), feature=feat)
+    roots = jnp.asarray([0, 3, 5, 7, -1], jnp.int32)
+    rngs = {"params": jax.random.PRNGKey(0),
+            "sample": jax.random.PRNGKey(1)}
+    params = net.init(rngs, g, roots)
+    want = np.asarray(net.apply(params, g, roots,
+                                rngs={"sample": jax.random.PRNGKey(2)}))
+
+    gspecs = sharded.shard_specs(sg4)
+
+    def body(sgb, p, key):
+        view = sharded.to_view(sgb, "graph")
+        return net.apply(p, view, roots, rngs={"sample": key})
+
+    from jax.sharding import PartitionSpec as P
+    with mesh24:
+        got = jax.jit(jax.shard_map(
+            body, mesh=mesh24, in_specs=(gspecs, P(), P()),
+            out_specs=P(), check_vma=False))(
+            sg4, params, jax.random.PRNGKey(2))
+    np.testing.assert_allclose(np.asarray(got)[:5], want, rtol=2e-4,
+                               atol=2e-5)
