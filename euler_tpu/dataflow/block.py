@@ -291,7 +291,12 @@ class Block:
             z = scores if mask is None else jnp.where(
                 mask.reshape((-1,) + (1,) * (scores.ndim - 1)) > 0,
                 scores, neg)
-            mx = jax.lax.pmax(mp_ops._segment_max_raw(z, dst, T), ax)
+            # the max shift is numerical stabilization only — its
+            # gradient contribution cancels exactly, and pmax has no
+            # differentiation rule, so gradients stop BEFORE the
+            # collective (stopping the output still traces pmax's jvp)
+            mx = jax.lax.pmax(jax.lax.stop_gradient(
+                mp_ops._segment_max_raw(z, dst, T)), ax)
             mx = jnp.where(mx <= neg * 0.5, 0.0, mx)
             e = jnp.exp(z - mp_ops.gather(mx, dst))
             if mask is not None:
