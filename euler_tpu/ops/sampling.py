@@ -242,16 +242,20 @@ def sample_neighbor_fast(g: GraphTensors, key, nodes: Array, edge_types,
     sample_neighbor). Use sample_neighbor for weights/eids.
 
     Multi-type draws covering ALL edge types prefer the union fan pack
-    (``fanu``, one row gather + a lane decode) when the store built it.
-    Under a mesh, ``return_types`` routes through the full payload verb
-    (correct, slower); the sharded store does not carry union rows yet.
+    (``fanu``, one row gather + a lane decode) when the store built it —
+    single-chip AND under the mesh (build_sharded stacks per-shard union
+    rows whenever the global graph fits the packed-lane encoding).
     """
     ets = _as_etypes(g, edge_types)
     if _is_shard_view(g):
-        if getattr(g, "fan_pack", None) is not None and not return_types:
+        if getattr(g, "fan_pack", None) is not None or (
+                getattr(g, "fanu_pack", None) is not None
+                and len(ets) > 1
+                and sorted(ets) == list(range(g.meta.num_edge_types))):
             from euler_tpu.parallel import sharded
             return sharded.sample_neighbor_fast_sharded(
-                g, key, nodes, ets, count, default_id)
+                g, key, nodes, ets, count, default_id,
+                return_types=return_types)
         nbr, w, ty, eid = sample_neighbor(g, key, nodes, ets, count,
                                           default_id)
         return (nbr, ty >= 0, ty) if return_types else (nbr, ty >= 0)

@@ -92,6 +92,11 @@ class ShardedGraphTensors:
     adj_pack: Optional[Array] = None      # [S, e_max, 4]
     sample_pack: Optional[Array] = None   # [S, e_max, 9]
     fan_pack: Optional[Array] = None      # [S, n_max*ET, 128]
+    # union fan rows (see _pad_shard_fields / ops/alias FANU_*)
+    fanu_pack: Optional[Array] = None     # [S, n_max, 128]
+    fanu_ptr: Optional[Array] = None      # [S, n_max+1]
+    fanu_prob: Optional[Array] = None     # [S, e_max]
+    fanu_alias: Optional[Array] = None    # [S, e_max]
 
     # in-CSR, dst-partitioned: shard s owns the in-groups of nodes with
     # id % S == s (built by build_sharded when the source graph was
@@ -145,6 +150,10 @@ class ShardView:
     adj_pack: Optional[Array] = None
     sample_pack: Optional[Array] = None
     fan_pack: Optional[Array] = None
+    fanu_pack: Optional[Array] = None
+    fanu_ptr: Optional[Array] = None
+    fanu_prob: Optional[Array] = None
+    fanu_alias: Optional[Array] = None
     in_group_ptr: Optional[Array] = None
     in_adj_src: Optional[Array] = None
     in_adj_w: Optional[Array] = None
@@ -254,7 +263,7 @@ def _pad_shard_fields(meta: GraphMeta, core, n_max, e_max,
     sample_pack_u = _sample_pack_np(gp_full, gprob, galias, adj_pack_u)
     gws32 = gws.astype(np.float32)
 
-    return dict(
+    out = dict(
         node_type=padn(own_node_type, -1),
         node_w=padn(own_node_w),
         group_ptr=gp32,
@@ -283,6 +292,24 @@ def _pad_shard_fields(meta: GraphMeta, core, n_max, e_max,
         eid_sorted=pade(core["eid"][eorder], np.iinfo(np.int32).max),
         eid_slot=pade(eorder),
     )
+    # union fan rows ("fanu"): one 128-lane row per LOCAL node over the
+    # union of edge types, lanes packing (etype << FANU_SHIFT) | dst
+    # (GLOBAL neighbor ids) — multi-type typed draws under the mesh cost
+    # one row gather, like the single-chip path (ops/alias.py FANU_*)
+    from euler_tpu.ops.alias import FANU_MAX_TYPES, FANU_SHIFT
+    if 2 <= ET <= FANU_MAX_TYPES and meta.n_nodes < (1 << FANU_SHIFT):
+        node_ptr = gp_full[::ET].astype(np.int64)
+        packed = ((core["ety"].astype(np.int32) << FANU_SHIFT)
+                  | core["col"])
+        prob_u, alias_u = build_group_alias(node_ptr, core["w"])
+        wsum_u = gws.astype(np.float32).reshape(n_max, ET).sum(axis=1)
+        out.update(
+            fanu_pack=build_fan_pack(node_ptr, packed, prob_u, alias_u,
+                                     wsum_u),
+            fanu_ptr=node_ptr.astype(np.int32),
+            fanu_prob=pade(prob_u, 1.0),
+            fanu_alias=pade(alias_u))
+    return out
 
 
 def _pad_in_fields(meta: GraphMeta, core, n_max, ie_max):
@@ -510,6 +537,14 @@ def to_view(sg_block: "ShardedGraphTensors", axis: str) -> ShardView:
         else sq(sg_block.sample_pack),
         fan_pack=None if sg_block.fan_pack is None
         else sq(sg_block.fan_pack),
+        fanu_pack=None if sg_block.fanu_pack is None
+        else sq(sg_block.fanu_pack),
+        fanu_ptr=None if sg_block.fanu_ptr is None
+        else sq(sg_block.fanu_ptr),
+        fanu_prob=None if sg_block.fanu_prob is None
+        else sq(sg_block.fanu_prob),
+        fanu_alias=None if sg_block.fanu_alias is None
+        else sq(sg_block.fanu_alias),
         in_group_ptr=None if sg_block.in_group_ptr is None
         else sq(sg_block.in_group_ptr),
         in_adj_src=None if sg_block.in_adj_src is None
@@ -829,7 +864,7 @@ def _request_route(view: ShardView, ids, answer_fn, fills,
 
 
 def sample_neighbor_fast_sharded(view: ShardView, key, nodes, ets, count,
-                                 default_id=-1):
+                                 default_id=-1, return_types=False):
     """Ids-only sampling over the per-shard packed fan rows — the sharded
     mirror of ops.sampling.sample_neighbor_fast: each owner serves every
     draw for a root from ONE 128-lane fan-row gather, then only the drawn
@@ -846,33 +881,51 @@ def sample_neighbor_fast_sharded(view: ShardView, key, nodes, ets, count,
     cap = _owner_cap(b, S, sampler=True)
     if cap is not None:
         def answer(flat_ids):
-            ids_c, ok_c = _fan_draw_local(view, key, flat_ids, ets,
-                                          count, default_id)
-            return (jnp.where(ok_c, ids_c, default_id),
-                    ok_c.astype(jnp.int8))
+            out = _fan_draw_local(view, key, flat_ids, ets, count,
+                                  default_id, return_types=return_types)
+            ids_c, ok_c = out[0], out[1]
+            res = (jnp.where(ok_c, ids_c, default_id),
+                   ok_c.astype(jnp.int8))
+            if return_types:
+                res += (jnp.where(ok_c, out[2], -1),)
+            return res
 
-        (ids, okv), served = _request_route(
-            view, nodes, answer,
-            fills=(jnp.int32(default_id), jnp.int8(0)))
-        valid = (okv > 0) & served[:, None]
-        return jnp.where(valid, ids, default_id), valid
+        fills = (jnp.int32(default_id), jnp.int8(0))
+        if return_types:
+            fills += (jnp.int32(-1),)
+        outs, served = _request_route(view, nodes, answer, fills=fills)
+        valid = (outs[1] > 0) & served[:, None]
+        ids = jnp.where(valid, outs[0], default_id)
+        if return_types:
+            return ids, valid, jnp.where(valid, outs[2], -1)
+        return ids, valid
 
     spread = _spread(view, nodes)
     owned, _ = _own_rows(view, spread)
-    ids_all, ok_all = _fan_draw_local(view, key, spread, ets, count,
-                                      default_id)
+    out = _fan_draw_local(view, key, spread, ets, count, default_id,
+                          return_types=return_types)
+    ids_all, ok_all = out[0], out[1]
     ok_all = ok_all & owned[:, None]
     ids = _route_ids(view, owned[:, None],
                      jnp.where(ok_all, ids_all, default_id), b,
                      default_id)
     valid = _route_vals(view, owned[:, None], ok_all.astype(jnp.int32),
                         b) > 0
-    return jnp.where(valid, ids, default_id), valid
+    ids = jnp.where(valid, ids, default_id)
+    if return_types:
+        ty = _route_ids(view, ok_all, jnp.where(ok_all, out[2], -1),
+                        b, -1)
+        return ids, valid, jnp.where(valid, ty, -1)
+    return ids, valid
 
 
-def _fan_draw_local(view: ShardView, key, nodes, ets, count, default_id):
+def _fan_draw_local(view: ShardView, key, nodes, ets, count, default_id,
+                    return_types=False):
     """Per-shard fan-row draws for LOCAL-OWNED global ids (no
-    collectives): (ids [B, count], ok). Rows with nodes < 0 are invalid.
+    collectives): (ids [B, count], ok[, types]). Rows with nodes < 0
+    are invalid. Multi-type draws over ALL edge types prefer the UNION
+    fan rows when the shard carries them (one row gather + lane decode,
+    mirroring the single-chip fanu path).
     """
     B = nodes.shape[0]
     rows = jnp.clip(jnp.maximum(nodes, 0) // view.num_shards, 0,
@@ -880,6 +933,31 @@ def _fan_draw_local(view: ShardView, key, nodes, ets, count, default_id):
     ET = view.meta.num_edge_types
     et_arr = jnp.asarray(ets, jnp.int32)
     K = len(ets)
+
+    if view.fanu_pack is not None and K > 1 and \
+            sorted(ets) == list(range(ET)):
+        from euler_tpu.ops.alias import FANU_MASK, FANU_SHIFT
+        packu = view.fanu_pack[rows]                      # [B, 128]
+        deg_c = jnp.broadcast_to(packu[:, 0:1], (B, count))
+        total = jax.lax.bitcast_convert_type(packu[:, 1], jnp.float32)
+        k1, k2 = jax.random.split(key)
+        u1 = jax.random.uniform(k1, (B, count))
+        u2 = jax.random.uniform(k2, (B, count))
+        slot = jnp.minimum((u1 * deg_c).astype(jnp.int32),
+                           jnp.maximum(deg_c - 1, 0))
+        oh = (slot[..., None] ==
+              jnp.arange(FAN_D, dtype=jnp.int32)).astype(jnp.int32)
+        pick = lambda off: jnp.einsum("bcd,bd->bc", oh,
+                                      packu[:, off:off + FAN_D])
+        prob = jax.lax.bitcast_convert_type(pick(FAN_PROB_OFF),
+                                            jnp.float32)
+        draw = jnp.where(u2 < prob, pick(FAN_KEPT_OFF),
+                         pick(FAN_ALIAS_OFF))
+        ok = (nodes >= 0)[:, None] & (deg_c > 0) & (total > 0)[:, None]
+        ids = jnp.where(ok, draw & FANU_MASK, default_id)
+        if return_types:
+            return ids, ok, jnp.where(ok, draw >> FANU_SHIFT, -1)
+        return ids, ok
 
     packs = view.fan_pack[rows[:, None] * ET + et_arr[None, :]]  # [B,K,128]
     deg = packs[..., 0]
@@ -922,6 +1000,11 @@ def _fan_draw_local(view: ShardView, key, nodes, ets, count, default_id):
     prob = jax.lax.bitcast_convert_type(pick(prob_bank), jnp.float32)
     ids = jnp.where(u2 < prob, pick(kept_bank), pick(alias_bank))
     ok = (nodes >= 0)[:, None] & (deg_c > 0) & (total > 0)[:, None]
+    if return_types:
+        ty = et_arr[kidx] if K > 1 else jnp.broadcast_to(
+            et_arr[0], ids.shape)
+        return (jnp.where(ok, ids, default_id), ok,
+                jnp.where(ok, ty, -1))
     return jnp.where(ok, ids, default_id), ok
 
 
@@ -1472,4 +1555,24 @@ def refresh_fan_pack_sharded(sg: ShardedGraphTensors, mesh,
     with mesh:
         fp = fn(sg.group_ptr, sg.adj_dst, sg.adj_prob, sg.adj_alias,
                 sg.fan_pack, key)
-    return sg.replace(fan_pack=fp)
+    changed = dict(fan_pack=fp)
+    if sg.fanu_pack is not None:
+        from euler_tpu.ops.alias import FANU_SHIFT
+
+        def body_u(ptr, dst, ty, prob, alias, fp, key):
+            k = jax.random.fold_in(
+                jax.random.fold_in(key, 1), jax.lax.axis_index("graph"))
+            packed = (ty[0] << FANU_SHIFT) | jnp.maximum(dst[0], 0)
+            out = _sampling.refresh_fan_rows(ptr[0], packed, prob[0],
+                                             alias[0], fp[0], k)
+            return out[None]
+
+        fn_u = jax.jit(jax.shard_map(
+            body_u, mesh=mesh,
+            in_specs=(gspec,) * 6 + (P(),),
+            out_specs=gspec, check_vma=False))
+        with mesh:
+            changed["fanu_pack"] = fn_u(
+                sg.fanu_ptr, sg.adj_dst, sg.adj_type, sg.fanu_prob,
+                sg.fanu_alias, sg.fanu_pack, key)
+    return sg.replace(**changed)

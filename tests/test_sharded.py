@@ -577,3 +577,36 @@ def test_whole_flow_under_mesh_matches_single(toy_graph, sg4, mesh24):
             sg4, params, jax.random.PRNGKey(2))
     np.testing.assert_allclose(np.asarray(got)[:5], want, rtol=2e-4,
                                atol=2e-5)
+
+
+def test_sharded_union_fan_typed_draws(toy_graph, sg4, mesh24):
+    """Multi-type typed draws under the mesh ride the UNION fan rows
+    (one gather + lane decode, like the single-chip fanu path): ids and
+    types legal per the fixture, union-weighted distribution, -1 types
+    exactly on invalid draws."""
+    assert sg4.fanu_pack is not None
+    ets = (0, 1)
+    nodes = jnp.asarray(
+        [toy_graph.local_id(100)] * 510
+        + [toy_graph.local_id(107), -1], jnp.int32)
+
+    def fn(view, nodes, key):
+        ids, valid, ty = sampling.sample_neighbor_fast(
+            view, key, nodes, ets, 8, return_types=True)
+        return ids, valid.astype(jnp.int32), ty
+
+    ids, valid, ty = (np.asarray(x)[:512] for x in _run_sharded(
+        mesh24, sg4, fn, nodes, jax.random.PRNGKey(11)))
+    assert (valid[:510] > 0).all()
+    assert not valid[510].any() and not valid[511].any()
+    assert ((ty == -1) == (valid == 0)).all()
+    names = toy_graph.meta.edge_types
+    legal = {(d, t) for s, d, t, w in fixtures.EDGES if s == 100}
+    exts = toy_graph.ext_ids[np.maximum(ids[:510], 0)]
+    pairs = {(int(e), names[int(t)])
+             for e, t in zip(exts.reshape(-1), ty[:510].reshape(-1))}
+    assert pairs <= legal
+    # union weights: click 101 w1, 103 w3; buy 105 w2 -> buy freq 2/6
+    np.testing.assert_allclose(
+        (ty[:510] == toy_graph.meta.edge_types.index("buy")).mean(),
+        2 / 6, atol=0.03)
